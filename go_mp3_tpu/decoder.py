@@ -1,0 +1,316 @@
+"""Public streaming decoder API.
+
+Functional parity with the reference's Decoder (/root/reference/decode.go):
+a pull-based PCM stream (read/seek) over any binary file-like object, with
+frame indexing for length/duration, byte-accurate seeking with a one-frame
+warm-up re-decode, and graceful handling of trailing metadata. Output is
+always 16-bit little-endian stereo (4 bytes per sample), mono duplicated.
+
+The DSP backend is selectable:
+ - "device" (default): the batched JAX path (go_mp3_tpu.ops.granule) with
+   read-ahead so device dispatches amortize over many frames,
+ - "golden": the numpy float64 golden chain (bit-stable, host-only).
+"""
+
+from __future__ import annotations
+
+import io
+from typing import BinaryIO
+
+from .bitstream.frameheader import read_header
+from .bitstream.parser import FrameReader, ParsedFrame
+from .bitstream.source import Source
+from .consts import (
+    EOFError_,
+    MP3Error,
+    SyncSearchLimitError,
+    UnexpectedEOFError,
+)
+
+INVALID_LENGTH = -1
+
+
+class NotSeekableError(MP3Error):
+    def __init__(self) -> None:
+        super().__init__("mp3: seek not supported on non-seekable source")
+
+
+class Decoder:
+    """A decoded MP3 stream.
+
+    Not safe for concurrent use (like the reference, decode.go:31-33); wrap
+    with a lock if shared across threads.
+    """
+
+    def __init__(
+        self,
+        reader: BinaryIO | bytes,
+        backend: str = "device",
+        readahead_frames: int = 64,
+    ):
+        if isinstance(reader, (bytes, bytearray)):
+            reader = io.BytesIO(reader)
+        self._source = Source(reader)
+        self._frame_reader = FrameReader()
+        self._backend_name = backend
+        self._readahead = max(1, readahead_frames)
+        self._dsp = _make_backend(backend)
+        self._buf = bytearray()
+        self._pos = 0  # decoded-byte position (exact arithmetic, decode.go:244)
+        self._length = INVALID_LENGTH
+        self._frame_starts: list[int] = []
+        self._bytes_per_frame = 0
+        self._sample_rate = 0
+        self._have_frame = False  # a previous frame exists (reservoir warm)
+        self._at_end = False  # set by a seek at/past the end of the stream
+
+        self._source.skip_tags()
+        if not self._decode_more():
+            raise MP3Error("mp3: no decodable frame found")
+        self._ensure_frame_starts_and_length()
+
+    # -- internal: decode-ahead --------------------------------------------
+    def _read_one_frame(self) -> ParsedFrame | None:
+        """Parse the next frame; None on end-of-audio (EOF / trailing junk),
+        mirroring readFrame's error folding (decode.go:45-67)."""
+        try:
+            f = self._frame_reader.read(self._source, self._source.pos)
+        except (EOFError_, UnexpectedEOFError, SyncSearchLimitError):
+            return None
+        if not self._have_frame:
+            self._sample_rate = f.header.sampling_frequency_value()
+            self._have_frame = True
+        return f
+
+    def _decode_more(self) -> bool:
+        """Parse+decode up to readahead frames into the buffer."""
+        frames = []
+        for _ in range(self._readahead):
+            f = self._read_one_frame()
+            if f is None:
+                break
+            frames.append(f)
+        if not frames:
+            return False
+        self._buf += self._dsp.decode_frames(frames)
+        return True
+
+    # -- io.Reader ----------------------------------------------------------
+    def read(self, n: int = -1) -> bytes:
+        """Read up to n bytes of PCM (all remaining if n < 0). Returns b''
+        at end of stream."""
+        if n is None or n < 0:
+            chunks = []
+            while True:
+                c = self.read(1 << 20)
+                if not c:
+                    break
+                chunks.append(c)
+            return b"".join(chunks)
+        while len(self._buf) < n:
+            if self._at_end or not self._decode_more():
+                break
+        take = min(n, len(self._buf))
+        out = bytes(self._buf[:take])
+        del self._buf[:take]
+        self._pos += take
+        return out
+
+    def read_all(self) -> bytes:
+        return self.read(-1)
+
+    def readinto(self, b) -> int:
+        data = self.read(len(b))
+        b[: len(data)] = data
+        return len(data)
+
+    # -- io.Seeker ----------------------------------------------------------
+    def seek(self, offset: int, whence: int = io.SEEK_SET) -> int:
+        """Byte-accurate seek in the decoded PCM stream (decode.go:89-145).
+
+        Samples are 4-byte aligned; seek to multiples of 4 to stay on sample
+        boundaries."""
+        if offset == 0 and whence == io.SEEK_CUR:
+            return self._pos
+        if self._length == INVALID_LENGTH:
+            raise NotSeekableError()
+
+        if whence == io.SEEK_SET:
+            npos = offset
+        elif whence == io.SEEK_CUR:
+            npos = self._pos + offset
+        elif whence == io.SEEK_END:
+            npos = self._length + offset
+        else:
+            raise MP3Error("mp3: invalid whence")
+
+        self._pos = max(npos, 0)
+        self._buf.clear()
+        self._frame_reader.reset()
+        self._dsp.reset()
+        self._have_frame = False
+
+        if self._pos >= self._length:
+            # At/after the end: subsequent reads report end-of-stream.
+            # (The reference leaves its byte source wherever it was, so a
+            # read would decode stale data from that position — we treat
+            # the stream as ended instead, which is what its callers expect.)
+            self._at_end = True
+            return npos
+        self._at_end = False
+
+        f = self._pos // self._bytes_per_frame
+        if f > 0:
+            # decode one warm-up frame to recharge reservoir + DSP state;
+            # its output is discarded (decode.go:120-134)
+            self._source.seek(self._frame_starts[f - 1])
+            if not self._decode_n_frames(2):
+                return npos
+            skip = self._bytes_per_frame + (self._pos % self._bytes_per_frame)
+            del self._buf[:skip]
+        else:
+            self._source.seek(self._frame_starts[0])
+            if not self._decode_n_frames(1):
+                return npos
+            del self._buf[: self._pos]
+        return npos
+
+    def _decode_n_frames(self, n: int) -> bool:
+        frames = []
+        for _ in range(n):
+            f = self._read_one_frame()
+            if f is None:
+                break
+            frames.append(f)
+        if not frames:
+            return False
+        self._buf += self._dsp.decode_frames(frames)
+        return True
+
+    # -- metadata / navigation ---------------------------------------------
+    def _ensure_frame_starts_and_length(self) -> None:
+        """Index pass over the whole file, headers only (decode.go:154-216)."""
+        if self._length != INVALID_LENGTH:
+            return
+        if not self._source.seekable():
+            return
+        pos = self._source.seek(0, io.SEEK_CUR)
+        self._source.rewind()
+        self._source.skip_tags()
+        total = 0
+        while True:
+            try:
+                h, start = read_header(self._source, self._source.pos)
+            except (EOFError_, UnexpectedEOFError, SyncSearchLimitError):
+                break
+            self._frame_starts.append(start)
+            self._bytes_per_frame = h.bytes_per_frame
+            total += self._bytes_per_frame
+            framesize = h.frame_size()
+            self._source.seek(framesize - 4, io.SEEK_CUR)
+        self._length = total
+        self._source.seek(pos, io.SEEK_SET)
+
+    def sample_rate(self) -> int:
+        """Sample rate in Hz, from the first frame (decode.go:150-152)."""
+        return self._sample_rate
+
+    def length(self) -> int:
+        """Total decoded size in bytes, or -1 if not seekable."""
+        return self._length
+
+    def bytes_per_frame(self) -> int:
+        return self._bytes_per_frame
+
+    def duration(self) -> float:
+        """Total duration in seconds, or -1.0 if unknown."""
+        if self._length == INVALID_LENGTH:
+            return -1.0
+        return self._length / (self._sample_rate * 4)
+
+    def position(self) -> float:
+        """Current position in seconds (pure byte arithmetic)."""
+        return self._pos / (self._sample_rate * 4)
+
+    def tell(self) -> int:
+        return self._pos
+
+    def remaining(self) -> float:
+        d = self.duration()
+        if d < 0:
+            return -1.0
+        return d - self.position()
+
+    def progress(self) -> float:
+        if self._length == INVALID_LENGTH:
+            return -1.0
+        if self._length == 0:
+            return 0.0
+        return self._pos / self._length
+
+    def sample_position(self) -> int:
+        return self._pos // 4
+
+    def sample_count(self) -> int:
+        if self._length == INVALID_LENGTH:
+            return -1
+        return self._length // 4
+
+    def seek_to_sample(self, sample: int) -> None:
+        if self._length == INVALID_LENGTH:
+            raise NotSeekableError()
+        sample = min(max(sample, 0), self.sample_count())
+        self.seek(sample * 4, io.SEEK_SET)
+
+    def skip(self, delta_seconds: float) -> None:
+        self.seek_to_time(self.position() + delta_seconds)
+
+    def seek_to_time(self, t: float) -> None:
+        """Seek to an absolute time in seconds, clamped and 4-byte aligned
+        (decode.go:320-341)."""
+        if self._length == INVALID_LENGTH:
+            raise NotSeekableError()
+        t = min(max(t, 0.0), self.duration())
+        nbytes = int(t * self._sample_rate * 4) & ~3
+        self.seek(nbytes, io.SEEK_SET)
+
+
+def _make_backend(name: str):
+    if name == "device":
+        return _DeviceBackend()
+    if name == "golden":
+        return _GoldenBackend()
+    raise MP3Error(f"mp3: unknown DSP backend {name!r}")
+
+
+class _DeviceBackend:
+    def __init__(self) -> None:
+        from .models.pipeline import StreamDecoder
+
+        self._sd = StreamDecoder()
+
+    def reset(self) -> None:
+        self._sd.reset()
+
+    def decode_frames(self, frames: list[ParsedFrame]) -> bytes:
+        for f in frames:
+            self._sd.feed_frame(f)
+        return self._sd.decode_pending(flush=True)
+
+
+class _GoldenBackend:
+    def __init__(self) -> None:
+        from .ops.reference_dsp import GoldenDecoder
+
+        self._gd = GoldenDecoder()
+
+    def reset(self) -> None:
+        from .ops.reference_dsp import GoldenDecoder
+
+        self._gd = GoldenDecoder()
+
+    def decode_frames(self, frames: list[ParsedFrame]) -> bytes:
+        out = b""
+        for f in frames:
+            out += self._gd.decode_frame(f.header, f.side_info, f.main_data)
+        return out

@@ -1,0 +1,176 @@
+"""ctypes bindings for the native host parser (libmp3parse.so).
+
+The native parser emits granule-batch arrays directly (spectra, scalefactors,
+packed meta), removing the Python parse+pack cost from the decode path. Falls
+back gracefully: `available()` is False when the library hasn't been built,
+and callers keep using the pure-Python parser.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_DIR = Path(__file__).resolve().parent
+_SO = _DIR / "libmp3parse.so"
+
+META_WIDTH = 24
+# meta layout (must match mp3parse.cpp parse_frame emit)
+META_VARIANT = 0
+META_FLAGS = 1  # bit0 ms, bit1 intensity, bit2 mono
+META_COUNT1_R = 2
+META_GLOBAL_GAIN = 4  # [2]
+META_SF_SCALE = 6  # [2]
+META_PREFLAG = 8  # [2]
+META_BLOCK_TYPE = 10  # [2]
+META_BLOCK_CLASS = 12  # [2]
+META_SUBBLOCK_GAIN = 14  # [2][3]
+META_COUNT1 = 20  # [2]
+META_GR_INDEX = 22
+
+_lib = None
+
+
+def _ensure_built() -> bool:
+    if _SO.exists():
+        src_mtime = (_DIR / "mp3parse.cpp").stat().st_mtime
+        hdr_mtime = (_DIR / "huffman_data.h").stat().st_mtime
+        if _SO.stat().st_mtime >= max(src_mtime, hdr_mtime):
+            return True
+    script = _DIR.parent.parent / "tools" / "build_native.sh"
+    try:
+        subprocess.run(
+            ["sh", str(script)], check=True, capture_output=True, timeout=120
+        )
+        return _SO.exists()
+    except Exception:
+        return False
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not _ensure_built():
+        return None
+    lib = ctypes.CDLL(str(_SO))
+    lib.gmp_create.restype = ctypes.c_void_p
+    lib.gmp_create.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.gmp_destroy.argtypes = [ctypes.c_void_p]
+    lib.gmp_sample_rate.restype = ctypes.c_int
+    lib.gmp_sample_rate.argtypes = [ctypes.c_void_p]
+    lib.gmp_error.restype = ctypes.c_char_p
+    lib.gmp_error.argtypes = [ctypes.c_void_p]
+    lib.gmp_parse.restype = ctypes.c_int
+    lib.gmp_parse.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.gmp_index.restype = ctypes.c_int64
+    lib.gmp_index.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _i32p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+class NativeParser:
+    """Streaming granule parser over an in-memory MP3 byte buffer."""
+
+    def __init__(self, data: bytes):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libmp3parse.so not available")
+        self._lib = lib
+        self._data = data  # keep alive
+        self._p = lib.gmp_create(data, len(data))
+
+    def close(self) -> None:
+        if self._p:
+            self._lib.gmp_destroy(self._p)
+            self._p = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    @property
+    def sample_rate(self) -> int:
+        return self._lib.gmp_sample_rate(self._p)
+
+    def parse(self, cap: int):
+        """Parse up to `cap` granules. Returns (n, spectra, sfl, sfs, meta)
+        where n==0 signals end of audio. Raises on malformed streams."""
+        spectra = np.empty((cap, 2, 576), dtype=np.int32)
+        sfl = np.empty((cap, 2, 22), dtype=np.int32)
+        sfs = np.empty((cap, 2, 39), dtype=np.int32)
+        meta = np.empty((cap, META_WIDTH), dtype=np.int32)
+        n = self._lib.gmp_parse(
+            self._p, cap, _i32p(spectra), _i32p(sfl), _i32p(sfs), _i32p(meta)
+        )
+        if n < 0:
+            err = self._lib.gmp_error(self._p).decode()
+            raise ValueError(f"mp3: native parse failed: {err}")
+        return n, spectra[:n], sfl[:n], sfs[:n], meta[:n]
+
+    def parse_all(self, chunk: int = 4096):
+        """Parse the whole stream; returns concatenated arrays."""
+        parts = []
+        while True:
+            n, sp, sl, ss, me = self.parse(chunk)
+            if n == 0:
+                break
+            parts.append((sp, sl, ss, me))
+        if not parts:
+            z = np.zeros
+            return (
+                z((0, 2, 576), np.int32),
+                z((0, 2, 22), np.int32),
+                z((0, 2, 39), np.int32),
+                z((0, META_WIDTH), np.int32),
+            )
+        return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+
+
+def index_stream(data: bytes):
+    """Header-only index scan: (frame_starts int64[], bytes_per_frame,
+    sample_rate)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libmp3parse.so not available")
+    cap = max(len(data) // 24, 64)  # frames are >= 24 bytes
+    starts = np.empty(cap, dtype=np.int64)
+    bpf = ctypes.c_int32(0)
+    sr = ctypes.c_int32(0)
+    n = lib.gmp_index(
+        data,
+        len(data),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        cap,
+        ctypes.byref(bpf),
+        ctypes.byref(sr),
+    )
+    return starts[:n].copy(), int(bpf.value), int(sr.value)

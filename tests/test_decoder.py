@@ -1,0 +1,233 @@
+"""Public Decoder API: read/seek/length/duration semantics
+(model: time_seek_test.go, trailing_tags_test.go, compliance_test.go)."""
+
+import io
+
+import numpy as np
+import pytest
+
+from go_mp3_tpu import Decoder, NotSeekableError
+from util_synth import apev2_tag, id3v1_tag, id3v2_tag, silent_frame
+
+
+class NonSeekable(io.RawIOBase):
+    def __init__(self, data: bytes):
+        self._b = io.BytesIO(data)
+
+    def read(self, n=-1):
+        return self._b.read(n)
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return False
+
+
+# ---------------------------------------------------------------------------
+# Synthetic-stream tests (hermetic)
+# ---------------------------------------------------------------------------
+
+
+def test_silent_frames_decode_to_silence():
+    d = Decoder(silent_frame() * 4, backend="golden")
+    pcm = d.read_all()
+    assert len(pcm) == 4 * 1152 * 4
+    assert set(pcm) == {0}
+
+
+def test_length_excludes_trailing_id3v1():
+    data = silent_frame() * 3 + id3v1_tag()
+    d = Decoder(data, backend="golden")
+    assert d.length() == 3 * 1152 * 4
+    assert len(d.read_all()) == 3 * 1152 * 4
+
+
+def test_length_excludes_trailing_ape():
+    data = silent_frame() * 3 + apev2_tag()
+    d = Decoder(data, backend="golden")
+    assert d.length() == 3 * 1152 * 4
+    assert len(d.read_all()) == 3 * 1152 * 4
+
+
+def test_length_excludes_both_trailing_tags():
+    data = silent_frame() * 2 + apev2_tag() + id3v1_tag()
+    d = Decoder(data, backend="golden")
+    assert d.length() == 2 * 1152 * 4
+
+
+def test_large_trailing_garbage():
+    data = silent_frame() * 2 + bytes(100_000)
+    d = Decoder(data, backend="golden")
+    assert d.length() == 2 * 1152 * 4
+    assert len(d.read_all()) == 2 * 1152 * 4
+
+
+def test_leading_id3v2_tags_skipped():
+    data = id3v2_tag(1000) + id3v2_tag(50) + silent_frame() * 2
+    d = Decoder(data, backend="golden")
+    assert d.length() == 2 * 1152 * 4
+
+
+def test_leading_id3v1_then_id3v2():
+    data = id3v1_tag() + id3v2_tag(10) + silent_frame()
+    d = Decoder(data, backend="golden")
+    assert d.length() == 1152 * 4
+
+
+def test_non_seekable_source_degrades():
+    d = Decoder(NonSeekable(silent_frame() * 2), backend="golden")
+    assert d.length() == -1
+    assert d.duration() == -1.0
+    assert d.sample_count() == -1
+    assert d.progress() == -1.0
+    with pytest.raises(NotSeekableError):
+        d.seek(0, io.SEEK_SET)
+    with pytest.raises(NotSeekableError):
+        d.seek_to_time(1.0)
+    # but reading still works
+    assert len(d.read_all()) == 2 * 1152 * 4
+
+
+def test_garbage_input_rejected():
+    from go_mp3_tpu.consts import MP3Error
+
+    with pytest.raises(MP3Error):
+        Decoder(bytes(200_000), backend="golden")
+
+
+# ---------------------------------------------------------------------------
+# Real-fixture tests
+# ---------------------------------------------------------------------------
+
+
+def test_metadata_classic(fixture_classic_lame):
+    d = Decoder(fixture_classic_lame, backend="golden")
+    assert d.sample_rate() == 44100
+    assert d.bytes_per_frame() == 1152 * 4
+    assert d.length() == 385 * 1152 * 4
+    assert abs(d.duration() - 10.057) < 0.01
+    assert d.sample_count() == 385 * 1152
+
+
+def test_metadata_mpeg2(fixture_mpeg2):
+    d = Decoder(fixture_mpeg2, backend="golden")
+    assert d.sample_rate() == 22050
+    assert d.bytes_per_frame() == 576 * 4
+    assert d.length() == 2872 * 576 * 4
+    assert abs(d.duration() - 75.0) < 0.1
+
+
+def test_read_in_chunks_matches_bulk(fixture_classic_lame):
+    d1 = Decoder(fixture_classic_lame, backend="golden", readahead_frames=8)
+    bulk = b""
+    while len(bulk) < 8 * 4608:
+        c = d1.read(1000)
+        if not c:
+            break
+        bulk += c
+    d2 = Decoder(fixture_classic_lame, backend="golden", readahead_frames=3)
+    again = d2.read(len(bulk))
+    assert bulk == again
+
+
+def test_position_progress_tracking(fixture_classic_lame):
+    d = Decoder(fixture_classic_lame, backend="golden")
+    assert d.position() == 0.0
+    d.read(44100 * 4)  # one second
+    assert abs(d.position() - 1.0) < 1e-9
+    assert abs(d.progress() - (44100 * 4 / d.length())) < 1e-12
+    assert d.sample_position() == 44100
+    assert abs(d.remaining() - (d.duration() - 1.0)) < 1e-9
+
+
+def test_seek_determinism(fixture_classic_lame):
+    """Seek away and back must reproduce byte-identical PCM
+    (time_seek_test.go:1010-1082)."""
+    d = Decoder(fixture_classic_lame, backend="golden")
+    d.seek(3 * 4608, io.SEEK_SET)
+    first = d.read(4608 * 2)
+    d.seek(40 * 4608, io.SEEK_SET)
+    d.read(100)
+    d.seek(3 * 4608, io.SEEK_SET)
+    second = d.read(4608 * 2)
+    assert first == second
+
+
+def test_seek_to_start_reproduces_first_read(fixture_classic_lame):
+    d = Decoder(fixture_classic_lame, backend="golden")
+    first = d.read(9000)
+    d.seek(0, io.SEEK_SET)
+    assert d.read(9000) == first
+
+
+def test_seek_matches_linear_decode(fixture_classic_lame):
+    """After a mid-file seek, the first granule may differ (the reference
+    also discards pre-warm-up state, decode.go:120-134), but from the second
+    granule of the target frame on, PCM must be bit-identical to a linear
+    decode — the warm-up frame fully recharges reservoir/overlap/polyphase."""
+    d = Decoder(fixture_classic_lame, backend="golden")
+    linear = d.read(30 * 4608)
+    target = 25 * 4608
+    d.seek(target, io.SEEK_SET)
+    seeked = d.read(4608 * 2)
+    lin_slice = np.frombuffer(linear[target : target + 4608 * 2], dtype="<i2")
+    skd = np.frombuffer(seeked, dtype="<i2")
+    diff = np.abs(lin_slice.astype(np.int32) - skd.astype(np.int32))
+    # 2304 int16 values = one granule (1152 samples x 2 ch) at 44.1 kHz
+    assert (diff[2304:] == 0).all()  # exact from granule 1 onward
+    assert diff[:2304].max() < 2000  # warm-up divergence is bounded
+
+
+def test_seek_current_and_end(fixture_classic_lame):
+    d = Decoder(fixture_classic_lame, backend="golden")
+    assert d.seek(0, io.SEEK_CUR) == 0
+    d.read(4608)
+    assert d.seek(0, io.SEEK_CUR) == 4608
+    d.seek(-4608, io.SEEK_END)
+    assert d.tell() == d.length() - 4608
+    got = d.read_all()
+    assert len(got) == 4608
+
+
+def test_seek_negative_clamps(fixture_classic_lame):
+    d = Decoder(fixture_classic_lame, backend="golden")
+    d.seek(-100, io.SEEK_SET)  # must clamp, not crash
+    assert d.tell() == 0
+    assert len(d.read(100)) == 100
+
+
+def test_seek_past_eof(fixture_classic_lame):
+    d = Decoder(fixture_classic_lame, backend="golden")
+    d.seek(d.length() + 5000, io.SEEK_SET)
+    assert d.read(100) == b""
+
+
+def test_seek_to_time_accuracy(fixture_classic_lame):
+    """Position after seek_to_time within 30 ms of target
+    (time_seek_test.go:949-956)."""
+    d = Decoder(fixture_classic_lame, backend="golden")
+    for t in (0.0, 1.5, 5.0, 9.9):
+        d.seek_to_time(t)
+        assert abs(d.position() - t) < 0.03
+        assert d.tell() % 4 == 0
+
+
+def test_seek_to_sample_and_skip(fixture_classic_lame):
+    d = Decoder(fixture_classic_lame, backend="golden")
+    d.seek_to_sample(44100)
+    assert d.sample_position() == 44100
+    d.skip(1.0)
+    assert abs(d.position() - 2.0) < 0.03
+    d.skip(-10.0)  # clamps to 0
+    assert d.position() == 0.0
+    d.seek_to_sample(10**12)  # clamps to end
+    assert d.sample_position() == d.sample_count()
+
+
+def test_device_backend_matches_golden(fixture_classic_lame):
+    gold = Decoder(fixture_classic_lame, backend="golden")
+    dev = Decoder(fixture_classic_lame, backend="device")
+    a = np.frombuffer(gold.read(20 * 4608), dtype="<i2").astype(np.int32)
+    b = np.frombuffer(dev.read(20 * 4608), dtype="<i2").astype(np.int32)
+    assert np.abs(a - b).max() <= 2

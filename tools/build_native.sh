@@ -1,0 +1,8 @@
+#!/bin/sh
+# Build the native host parser -> go_mp3_tpu/native/libmp3parse.so
+set -e
+cd "$(dirname "$0")/.."
+g++ -O3 -march=native -std=c++17 -fPIC -shared -Wall -Wextra \
+    go_mp3_tpu/native/mp3parse.cpp \
+    -o go_mp3_tpu/native/libmp3parse.so
+echo "built go_mp3_tpu/native/libmp3parse.so"
