@@ -1,0 +1,51 @@
+# Dev tooling (parity with the reference's Makefile targets:
+# fmt / lint / test / coverage / bench / bench-compare / profile).
+
+PY ?= python
+
+.PHONY: all check fmt lint test coverage bench bench-save bench-compare \
+        profile native gen clean
+
+all: check
+
+check: lint test
+
+fmt:
+	$(PY) -m black go_mp3_tpu tests tools bench.py __graft_entry__.py 2>/dev/null || true
+
+lint:
+	$(PY) -m compileall -q go_mp3_tpu tests tools
+	$(PY) -c "import go_mp3_tpu"
+
+test:
+	$(PY) -m pytest tests/ -x -q
+
+coverage:
+	$(PY) -m pytest tests/ -q --cov=go_mp3_tpu --cov-report=term 2>/dev/null || \
+	$(PY) -m pytest tests/ -q
+
+native:
+	sh tools/build_native.sh
+
+gen:
+	$(PY) tools/gen_huffman.py
+	$(PY) tools/gen_dtbl.py
+	$(PY) tools/gen_huffman_cpp.py
+
+bench:
+	$(PY) bench.py
+
+# benchstat-like baseline workflow
+bench-save:
+	$(PY) bench.py > benchmarks/baseline.json
+	@cat benchmarks/baseline.json
+
+bench-compare:
+	$(PY) tools/bench_compare.py benchmarks/baseline.json
+
+profile:
+	$(PY) tools/profile_decode.py
+
+clean:
+	rm -rf go_mp3_tpu/native/libmp3parse.so .pytest_cache
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true

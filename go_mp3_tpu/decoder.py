@@ -47,9 +47,22 @@ class Decoder:
         reader: BinaryIO | bytes,
         backend: str = "device",
         readahead_frames: int = 64,
+        use_native: bool | None = None,
     ):
+        """use_native: parse with the C++ host parser (requires an in-memory
+        or seekable source). None = auto (on when available)."""
         if isinstance(reader, (bytes, bytearray)):
             reader = io.BytesIO(reader)
+        # Native fast paths: C++ parse + batched device DSP ("device"), or
+        # C++ parse + exact-arithmetic C++ DSP ("exact" — bit-exact to the
+        # reference decoder's float32 pipeline, no accelerator needed).
+        # Both require the whole stream in memory; anything else uses the
+        # pure-Python parser.
+        self._native: "_NativeStream | None" = None
+        if backend in ("device", "exact") and use_native is not False:
+            self._native = _maybe_native_stream(reader, dsp=backend)
+            if self._native is None and (use_native is True or backend == "exact"):
+                raise MP3Error("mp3: native parser unavailable for this source")
         self._source = Source(reader)
         self._frame_reader = FrameReader()
         self._backend_name = backend
@@ -63,6 +76,17 @@ class Decoder:
         self._sample_rate = 0
         self._have_frame = False  # a previous frame exists (reservoir warm)
         self._at_end = False  # set by a seek at/past the end of the stream
+
+        if self._native is not None:
+            if not self._decode_more():
+                raise MP3Error("mp3: no decodable frame found")
+            self._sample_rate = self._native.sample_rate()
+            self._have_frame = True
+            starts, bpf, _sr = self._native.index()
+            self._frame_starts = list(starts)
+            self._bytes_per_frame = bpf
+            self._length = int(bpf * len(starts))
+            return
 
         self._source.skip_tags()
         if not self._decode_more():
@@ -84,6 +108,12 @@ class Decoder:
 
     def _decode_more(self) -> bool:
         """Parse+decode up to readahead frames into the buffer."""
+        if self._native is not None:
+            pcm = self._native.decode_more()
+            if pcm is None:
+                return False
+            self._buf += pcm
+            return True
         frames = []
         for _ in range(self._readahead):
             f = self._read_one_frame()
@@ -148,6 +178,8 @@ class Decoder:
         self._buf.clear()
         self._frame_reader.reset()
         self._dsp.reset()
+        if self._native is not None:
+            self._native.reset_state()
         self._have_frame = False
 
         if self._pos >= self._length:
@@ -163,19 +195,31 @@ class Decoder:
         if f > 0:
             # decode one warm-up frame to recharge reservoir + DSP state;
             # its output is discarded (decode.go:120-134)
-            self._source.seek(self._frame_starts[f - 1])
+            self._restart_at(self._frame_starts[f - 1])
             if not self._decode_n_frames(2):
                 return npos
             skip = self._bytes_per_frame + (self._pos % self._bytes_per_frame)
             del self._buf[:skip]
         else:
-            self._source.seek(self._frame_starts[0])
+            self._restart_at(self._frame_starts[0])
             if not self._decode_n_frames(1):
                 return npos
             del self._buf[: self._pos]
         return npos
 
+    def _restart_at(self, byte_offset: int) -> None:
+        if self._native is not None:
+            self._native.restart(byte_offset)
+        else:
+            self._source.seek(byte_offset)
+
     def _decode_n_frames(self, n: int) -> bool:
+        if self._native is not None:
+            pcm = self._native.decode_frames(n, self._bytes_per_frame)
+            if pcm is None:
+                return False
+            self._buf += pcm
+            return True
         frames = []
         for _ in range(n):
             f = self._read_one_frame()
@@ -275,12 +319,134 @@ class Decoder:
         self.seek(nbytes, io.SEEK_SET)
 
 
+def _maybe_native_stream(reader, dsp: str = "device") -> "_NativeStream | None":
+    """Build the native fast path when the C++ parser is available and the
+    source can be materialized in memory (BytesIO or a seekable file)."""
+    try:
+        from .native import lib as native
+    except Exception:
+        return None
+    if not native.available():
+        return None
+    data: bytes | None = None
+    if isinstance(reader, io.BytesIO):
+        start = reader.tell()
+        data = reader.getvalue()[start:]
+    else:
+        try:
+            if reader.seekable():
+                start = reader.tell()
+                data = reader.read()
+                reader.seek(start)
+        except Exception:
+            return None
+    if not data:
+        return None
+    try:
+        return _NativeStream(data, dsp=dsp)
+    except Exception:
+        return None
+
+
+class _NativeStream:
+    """C++ parse -> (batched device DSP | exact C++ DSP), with the Decoder's
+    frame-oriented contract (decode-ahead, restart-at-offset for seeks)."""
+
+    CHUNK = 128  # granules per device call; fixed so one XLA compilation
+
+    def __init__(self, data: bytes, dsp: str = "device"):
+        import numpy as np
+
+        from .native.lib import META_WIDTH, NativeParser, index_stream
+
+        self._np = np
+        self._data = data
+        self._parser = NativeParser(data)
+        self._index_stream = index_stream
+        self._NativeParser = NativeParser
+        self._meta_width = META_WIDTH
+        self._dsp_kind = dsp
+        if dsp == "exact":
+            from .native.lib import NativeDsp
+
+            self._cpu_dsp = NativeDsp()
+            self._state = None
+        else:
+            from .ops.granule import init_state
+
+            self._init_state = init_state
+            self._state = init_state()
+
+    def sample_rate(self) -> int:
+        return self._parser.sample_rate
+
+    def index(self):
+        return self._index_stream(self._data)
+
+    def reset_state(self) -> None:
+        if self._dsp_kind == "exact":
+            self._cpu_dsp.reset()
+        else:
+            self._state = self._init_state()
+
+    def restart(self, byte_offset: int) -> None:
+        self._parser.close()
+        self._parser = self._NativeParser(self._data, byte_offset)
+
+    def _decode_granules(self, want: int) -> bytes | None:
+        np = self._np
+        want = min(want, self.CHUNK)
+        spectra = np.zeros((want, 2, 576), np.int32)
+        sfl = np.zeros((want, 2, 22), np.int32)
+        sfs = np.zeros((want, 2, 39), np.int32)
+        meta = np.zeros((want, self._meta_width), np.int32)
+        n = self._parser.parse_into(spectra, sfl, sfs, meta)
+        if n == 0:
+            return None
+
+        if self._dsp_kind == "exact":
+            pcm = self._cpu_dsp.decode(
+                spectra[:n], sfl[:n], sfs[:n], meta[:n]
+            )
+            return pcm.tobytes()
+
+        import jax.numpy as jnp
+
+        from .models.native_pipeline import granule_batch_from_native
+        from .ops.granule import decode_chunk
+
+        batch, valid = granule_batch_from_native(
+            spectra[:n], sfl[:n], sfs[:n], meta[:n], pad_to=self.CHUNK
+        )
+        pcm, self._state = decode_chunk(batch, self._state, jnp.int32(valid))
+        return np.asarray(pcm[: valid * 576]).tobytes()
+
+    def decode_more(self) -> bytes | None:
+        return self._decode_granules(self.CHUNK)
+
+    def decode_frames(self, n_frames: int, bytes_per_frame: int) -> bytes | None:
+        gpf = max(1, bytes_per_frame // (576 * 4))
+        return self._decode_granules(n_frames * gpf)
+
+
 def _make_backend(name: str):
     if name == "device":
         return _DeviceBackend()
+    if name == "exact":
+        # decoding runs entirely in the native stream; nothing to build here
+        # (keeps the exact path accelerator-free)
+        return _NullBackend()
     if name == "golden":
         return _GoldenBackend()
     raise MP3Error(f"mp3: unknown DSP backend {name!r}")
+
+
+class _NullBackend:
+    def reset(self) -> None:
+        pass
+
+    def decode_frames(self, frames):  # pragma: no cover - guarded in __init__
+        raise MP3Error("mp3: exact backend requires the native parser")
 
 
 class _DeviceBackend:

@@ -50,14 +50,21 @@ def granules_from_frame(f: ParsedFrame) -> list[GranuleMeta]:
     out = []
     for gr in range(h.granules):
         block_class = np.zeros(2, dtype=np.int32)
+        spectra = md.is_[gr].copy()
         for ch in range(nch):
             block_class[ch] = T.block_class(
                 si.win_switch_flag[gr][ch],
                 si.block_type[gr][ch],
                 si.mixed_block_flag[gr][ch],
             )
+            # Pre-apply the short-block reorder on host (frame.go:257-302):
+            # the device path consumes POST-REORDER spectra (ops/granule.py).
+            if block_class[ch] == T.CLASS_SHORT:
+                spectra[ch] = spectra[ch][T.REORDER_PERM_SHORT[variant]]
+            elif block_class[ch] == T.CLASS_MIXED:
+                spectra[ch] = spectra[ch][T.REORDER_PERM_MIXED[variant]]
         g = GranuleMeta(
-            spectra=md.is_[gr].copy(),
+            spectra=spectra,
             scalefac_l=md.scalefac_l[gr].copy(),
             scalefac_s=md.scalefac_s[gr].copy(),
             global_gain=np.array(si.global_gain[gr], dtype=np.int32),

@@ -74,6 +74,18 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.gmp_dsp_create.restype = ctypes.c_void_p
+    lib.gmp_dsp_destroy.argtypes = [ctypes.c_void_p]
+    lib.gmp_dsp_reset.argtypes = [ctypes.c_void_p]
+    lib.gmp_dsp_decode.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16),
+    ]
     lib.gmp_index.restype = ctypes.c_int64
     lib.gmp_index.argtypes = [
         ctypes.c_char_p,
@@ -96,15 +108,21 @@ def _i32p(a: np.ndarray):
 
 
 class NativeParser:
-    """Streaming granule parser over an in-memory MP3 byte buffer."""
+    """Streaming granule parser over an in-memory MP3 byte buffer.
 
-    def __init__(self, data: bytes):
+    `offset` starts parsing at a byte position without copying the buffer
+    (used by Decoder.seek to restart at a frame boundary)."""
+
+    def __init__(self, data: bytes, offset: int = 0):
         lib = _load()
         if lib is None:
             raise RuntimeError("libmp3parse.so not available")
         self._lib = lib
         self._data = data  # keep alive
-        self._p = lib.gmp_create(data, len(data))
+        offset = int(offset)
+        base = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p).value
+        ptr = ctypes.c_char_p(base + offset)
+        self._p = lib.gmp_create(ptr, len(data) - offset)
 
     def close(self) -> None:
         if self._p:
@@ -120,6 +138,33 @@ class NativeParser:
     @property
     def sample_rate(self) -> int:
         return self._lib.gmp_sample_rate(self._p)
+
+    def parse_into(
+        self,
+        spectra: np.ndarray,
+        sfl: np.ndarray,
+        sfs: np.ndarray,
+        meta: np.ndarray,
+    ) -> int:
+        """Parse granules directly into caller-provided C-contiguous arrays
+        (shapes [cap,2,576], [cap,2,22], [cap,2,39], [cap,24], int32).
+        Returns the number of granules produced (0 = end of audio)."""
+        cap = spectra.shape[0]
+        for a, shape in (
+            (spectra, (cap, 2, 576)),
+            (sfl, (cap, 2, 22)),
+            (sfs, (cap, 2, 39)),
+            (meta, (cap, META_WIDTH)),
+        ):
+            assert a.shape == shape and a.dtype == np.int32, (a.shape, a.dtype)
+            assert a.flags.c_contiguous
+        n = self._lib.gmp_parse(
+            self._p, cap, _i32p(spectra), _i32p(sfl), _i32p(sfs), _i32p(meta)
+        )
+        if n < 0:
+            err = self._lib.gmp_error(self._p).decode()
+            raise ValueError(f"mp3: native parse failed: {err}")
+        return n
 
     def parse(self, cap: int):
         """Parse up to `cap` granules. Returns (n, spectra, sfl, sfs, meta)
@@ -153,6 +198,56 @@ class NativeParser:
                 z((0, META_WIDTH), np.int32),
             )
         return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+
+
+class NativeDsp:
+    """Exact-arithmetic C++ granule DSP (bit-exact mode / CPU fallback).
+
+    Replicates the reference's float32 operation order; see mp3dsp.cpp."""
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libmp3parse.so not available")
+        self._lib = lib
+        self._s = lib.gmp_dsp_create()
+
+    def close(self) -> None:
+        if self._s:
+            self._lib.gmp_dsp_destroy(self._s)
+            self._s = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+    def reset(self) -> None:
+        self._lib.gmp_dsp_reset(self._s)
+
+    def decode(
+        self,
+        spectra: np.ndarray,
+        sfl: np.ndarray,
+        sfs: np.ndarray,
+        meta: np.ndarray,
+    ) -> np.ndarray:
+        """Decode n granule records -> int16 PCM [n*576, 2]."""
+        n = spectra.shape[0]
+        pcm = np.empty((n * 576, 2), dtype=np.int16)
+        for a in (spectra, sfl, sfs, meta):
+            assert a.dtype == np.int32 and a.flags.c_contiguous
+        self._lib.gmp_dsp_decode(
+            self._s,
+            n,
+            _i32p(spectra),
+            _i32p(sfl),
+            _i32p(sfs),
+            _i32p(meta),
+            pcm.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+        )
+        return pcm
 
 
 def index_stream(data: bytes):

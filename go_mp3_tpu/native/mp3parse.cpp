@@ -50,6 +50,41 @@ constexpr int kBandLong[2][3][23] = {
       284, 336, 396, 464, 522, 576}},
 };
 
+// Short scalefactor band boundaries [lsf][sfreq]
+constexpr int kBandShort[2][3][14] = {
+    {{0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192},
+     {0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192},
+     {0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192}},
+    {{0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192},
+     {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192},
+     {0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192}},
+};
+
+// Short-block reorder permutations (frame.go:257-302): applied on host so
+// the device path consumes post-reorder spectra with no TPU gather.
+// kind 0 = pure short (all bands), kind 1 = mixed (bands 3+ only).
+struct ReorderPerms {
+  int16_t perm[2][3][2][kSamplesPerGr];
+  ReorderPerms() {
+    for (int lsf = 0; lsf < 2; lsf++)
+      for (int sf = 0; sf < 3; sf++)
+        for (int kind = 0; kind < 2; kind++) {
+          int16_t* p = perm[lsf][sf][kind];
+          for (int l = 0; l < kSamplesPerGr; l++) p[l] = int16_t(l);
+          int first = kind == 1 ? 3 : 0;
+          const int* bands = kBandShort[lsf][sf];
+          for (int sfb = first; sfb < 13; sfb++) {
+            int start3 = 3 * bands[sfb];
+            int wl = bands[sfb + 1] - bands[sfb];
+            for (int win = 0; win < 3; win++)
+              for (int j = 0; j < wl; j++)
+                p[start3 + j * 3 + win] = int16_t(start3 + win * wl + j);
+          }
+        }
+  }
+};
+static const ReorderPerms kReorder;
+
 constexpr int kScalefacSizesMpeg1[16][2] = {
     {0, 0}, {0, 1}, {0, 2}, {0, 3}, {3, 0}, {1, 1}, {1, 2}, {1, 3},
     {2, 1}, {2, 2}, {2, 3}, {3, 1}, {3, 2}, {3, 3}, {4, 2}, {4, 3}};
@@ -592,6 +627,20 @@ struct Parser {
     else
       st = scalefactors_mpeg1(m, h, &si, sfl, sfs, spectra);
     if (st != OK) return st;
+
+    // host-side short-block reorder (device consumes post-reorder layout)
+    for (int gr = 0; gr < ngr; gr++) {
+      for (int ch = 0; ch < h.nch(); ch++) {
+        if (!(si.win_switch[gr][ch] == 1 && si.block_type[gr][ch] == 2))
+          continue;
+        int kind = si.mixed_flag[gr][ch] ? 1 : 0;
+        const int16_t* p = kReorder.perm[h.lsf()][h.sfreq()][kind];
+        int32_t* s = spectra + (gr * 2 + ch) * kSamplesPerGr;
+        int32_t tmp[kSamplesPerGr];
+        for (int l = 0; l < kSamplesPerGr; l++) tmp[l] = s[p[l]];
+        memcpy(s, tmp, sizeof(tmp));
+      }
+    }
 
     // keep the full assembled buffer as the next frame's reservoir source
     reservoir = std::move(assembled);

@@ -43,7 +43,7 @@ _HI = jax.lax.Precision.HIGHEST
 class GranuleBatch(NamedTuple):
     """Fixed-shape device representation of T parsed granules."""
 
-    spectra: jax.Array  # int32 [T, 2, 576] raw Huffman values
+    spectra: jax.Array  # int32 [T, 2, 576] Huffman values, POST-REORDER layout
     scalefac_l: jax.Array  # int32 [T, 2, 22]
     scalefac_s: jax.Array  # int32 [T, 2, 13, 3]
     global_gain: jax.Array  # int32 [T, 2]
@@ -75,17 +75,9 @@ def init_state() -> DecodeState:
 
 
 # Device-resident constant tables
-_POW43 = jnp.asarray(T.POW_4_3_F32)
-_PRETAB = jnp.asarray(T.PRETAB.astype(np.float32))
-_LONG_SFB = jnp.asarray(T.LONG_SFB_OF_LINE)
-_SHORT_SFB = jnp.asarray(T.SHORT_SFB_OF_LINE)
-_SHORT_WIN = jnp.asarray(T.SHORT_WIN_OF_LINE)
-_PERM_SHORT = jnp.asarray(T.REORDER_PERM_SHORT)
-_PERM_MIXED = jnp.asarray(T.REORDER_PERM_MIXED)
-_LONG_BAND_START = jnp.asarray(T.LONG_BAND_START)
-_SHORT_BAND_START3 = jnp.asarray(T.SHORT_BAND_START3)
-_IS_RATIO_L = jnp.asarray(T.IS_RATIO_L)
-_IS_RATIO_R = jnp.asarray(T.IS_RATIO_R)
+_PRETAB22 = jnp.asarray(T.PRETAB.astype(np.float32))  # [22]
+_LONG_BAND_START = jnp.asarray(T.LONG_BAND_START)  # [6, 23]
+_SHORT_BAND_START3 = jnp.asarray(T.SHORT_BAND_START3)  # [6, 14]
 _CS = jnp.asarray(T.CS)
 _CA = jnp.asarray(T.CA)
 _COS_N12 = jnp.asarray(T.COS_N12)
@@ -94,62 +86,97 @@ _IMDCT_WIN = jnp.asarray(T.IMDCT_WIN)
 _SYNTH_N_WIN = jnp.asarray(T.SYNTH_N_WIN)
 _SYNTH_DTBL = jnp.asarray(T.SYNTH_DTBL)
 _FREQ_INV = jnp.asarray(T.FREQ_INV_SIGN)
+_E_LONG = jnp.asarray(T.E_LONG)  # [6*22, 576]
+_E_SHORT = jnp.asarray(T.E_SHORT)  # [6*39, 576]
+_E_SHORT_IS = jnp.asarray(T.E_SHORT_IS)  # [6*39, 576]
 _LINE = jnp.arange(SAMPLES_PER_GR, dtype=jnp.int32)
+_NV = T.N_BAND_VARIANTS
+
+
+def _variant_onehot(variant: jax.Array) -> jax.Array:
+    """[T] int -> [T, 6] f32 one-hot (elementwise, no gather)."""
+    return (variant[:, None] == jnp.arange(_NV)[None, :]).astype(_F32)
+
+
+def _expand_bands(values: jax.Array, vh: jax.Array, e: jax.Array) -> jax.Array:
+    """Per-band -> per-line via the static one-hot expansion matmul.
+
+    values: [T, C, B] per-band values; vh: [T, 6] variant one-hot;
+    e: [6*B, 576]. Values are placed into their variant's row block
+    (masked broadcast, no gather) and one matmul scatters them to lines.
+    One-hot operands keep the MXU result exact in f32.
+    """
+    t_dim, c_dim, b_dim = values.shape
+    big = (values[:, :, None, :] * vh[:, None, :, None]).reshape(
+        t_dim, c_dim, _NV * b_dim
+    )
+    return jnp.einsum("tcx,xl->tcl", big, e, precision=_HI)
+
+
+def _select_by_variant(vh: jax.Array, table: jax.Array) -> jax.Array:
+    """[T,6] one-hot x [6, N] constant -> [T, N] (tiny matmul, no gather)."""
+    return jnp.einsum("tv,vn->tn", vh, table.astype(_F32), precision=_HI)
+
+
+def _line_is_long(cls: jax.Array) -> jax.Array:
+    """Per-line long/short path mask given block class [..., 1]."""
+    return (cls == T.CLASS_LONG) | (
+        (cls == T.CLASS_MIXED) & (_LINE < 36)
+    )
 
 
 def _requantize(b: GranuleBatch) -> jax.Array:
-    """frame.go:140-255 as a single gathered elementwise expression."""
+    """frame.go:140-255, gather-free: per-band exponents expanded to lines
+    by a one-hot matmul; |x|^(4/3) fused into the exp2.
+
+    Input spectra are in POST-REORDER layout (host applies the short-block
+    permutation after Huffman decode), so the short-band maps baked into
+    _E_SHORT are the permutation-composed ones (tables.py)."""
     spectra = b.spectra
+    vh = _variant_onehot(b.variant)
+
+    sf_mult = jnp.where(b.scalefac_scale != 0, 1.0, 0.5).astype(_F32)
+    gain = 0.25 * (b.global_gain.astype(_F32) - 210.0)  # [T, 2]
+
+    # per-band exponents
+    a_long_b = (
+        -(sf_mult[..., None]
+          * (b.scalefac_l.astype(_F32)
+             + b.preflag.astype(_F32)[..., None] * _PRETAB22))
+        + gain[..., None]
+    )  # [T, 2, 22]
+    sbg39 = jnp.tile(b.subblock_gain.astype(_F32), (1, 1, 13))  # [T,2,39]
+    a_short_b = (
+        -(sf_mult[..., None] * b.scalefac_s.astype(_F32).reshape(
+            *b.scalefac_s.shape[:2], 39))
+        + gain[..., None]
+        - 2.0 * sbg39
+    )  # 0.25 * 8 = 2
+    a_long = _expand_bands(a_long_b, vh, _E_LONG)
+    a_short = _expand_bands(a_short_b, vh, _E_SHORT)
+
+    cls = b.block_class[..., None]  # [T, 2, 1]
+    a = jnp.where(_line_is_long(cls), a_long, a_short)
+
+    absx = jnp.abs(spectra).astype(_F32)
     sign = jnp.sign(spectra).astype(_F32)
-    mag = _POW43[jnp.abs(spectra)]
-    p = sign * mag  # [T, 2, 576]
-
-    sfb_long = _LONG_SFB[b.variant]  # [T, 576]
-    sfb_short = _SHORT_SFB[b.variant]
-    win = _SHORT_WIN[b.variant]
-
-    sf_mult = jnp.where(b.scalefac_scale != 0, 1.0, 0.5).astype(_F32)[..., None]
-    gg = b.global_gain.astype(_F32)[..., None]  # [T, 2, 1]
-
-    idx3 = jnp.broadcast_to(sfb_long[:, None, :], spectra.shape)
-    sf_l = jnp.take_along_axis(b.scalefac_l, idx3, axis=2).astype(_F32)
-    pre_l = _PRETAB[sfb_long][:, None, :] * b.preflag.astype(_F32)[..., None]
-    a_long = -(sf_mult * (sf_l + pre_l)) + 0.25 * (gg - 210.0)
-
-    flat_idx = sfb_short * 3 + win  # [T, 576] into [13*3]
-    idx3s = jnp.broadcast_to(flat_idx[:, None, :], spectra.shape)
-    sf_s = jnp.take_along_axis(
-        b.scalefac_s.reshape(*b.scalefac_s.shape[:2], 39), idx3s, axis=2
-    ).astype(_F32)
-    win3 = jnp.broadcast_to(win[:, None, :], spectra.shape)
-    sbg = jnp.take_along_axis(b.subblock_gain, win3, axis=2).astype(_F32)
-    a_short = -(sf_mult * sf_s) + 0.25 * (gg - 210.0 - 8.0 * sbg)
-
-    cls = b.block_class[..., None]  # [T, 2, 1]
-    line_is_long = (cls == T.CLASS_LONG) | (
-        (cls == T.CLASS_MIXED) & (_LINE[None, None, :] < 36)
-    )
-    a = jnp.where(line_is_long, a_long, a_short)
-    return jnp.exp2(a) * p
+    # |x|^(4/3) * 2^a == exp2(a + 4/3*log2|x|); x == 0 -> log2 = -inf -> 0
+    mag = jnp.exp2(a + (4.0 / 3.0) * jnp.log2(absx))
+    return sign * mag
 
 
-def _reorder(b: GranuleBatch, x: jax.Array) -> jax.Array:
-    """frame.go:257-302 as a per-granule/channel permutation gather."""
-    identity = jnp.broadcast_to(_LINE, (x.shape[0], SAMPLES_PER_GR))
-    perm_short = _PERM_SHORT[b.variant]
-    perm_mixed = _PERM_MIXED[b.variant]
-    cls = b.block_class[..., None]  # [T, 2, 1]
-    perm = jnp.where(
-        cls == T.CLASS_SHORT,
-        perm_short[:, None, :],
-        jnp.where(cls == T.CLASS_MIXED, perm_mixed[:, None, :], identity[:, None, :]),
-    )
-    return jnp.take_along_axis(x, perm, axis=2)
+def _ratio_from_is_pos(is_pos: jax.Array, table: np.ndarray) -> jax.Array:
+    """Map is_pos in 0..6 to its ratio constant via a select chain."""
+    out = jnp.full(is_pos.shape, float(table[0]), _F32)
+    for k in range(1, 7):
+        out = jnp.where(is_pos == k, float(table[k]), out)
+    return out
 
 
 def _stereo(b: GranuleBatch, x: jax.Array) -> jax.Array:
     """frame.go:308-420: MS stereo over all lines (equivalent to the
-    max-count1 bound since rzero lines are zero) + per-band intensity."""
+    max-count1 bound since rzero lines are zero) + per-band intensity
+    multipliers expanded to lines by the one-hot matmul."""
     left, right = x[:, 0], x[:, 1]
 
     ms = (b.ms_flag & ~b.mono)[:, None]
@@ -158,41 +185,50 @@ def _stereo(b: GranuleBatch, x: jax.Array) -> jax.Array:
     left = jnp.where(ms, new_l, left)
     right = jnp.where(ms, new_r, right)
 
-    # Intensity stereo (uses channel 0's block geometry; frame.go:379-419)
-    sfb_long = _LONG_SFB[b.variant]
-    sfb_short = _SHORT_SFB[b.variant]
-    win = _SHORT_WIN[b.variant]
-    cls0 = b.block_class[:, 0][:, None]  # [T, 1]
-    line_long = (cls0 == T.CLASS_LONG) | (
-        (cls0 == T.CLASS_MIXED) & (_LINE[None, :] < 36)
-    )
-    c1r = b.count1_r[:, None]
+    # Intensity stereo (uses channel 0's block geometry; frame.go:379-419).
+    vh = _variant_onehot(b.variant)
+    c1r = b.count1_r.astype(_F32)[:, None]
+    gate = (b.is_flag & ~b.mono)[:, None]  # [T, 1]
 
-    band_start_l = jnp.take_along_axis(
-        _LONG_BAND_START[b.variant], sfb_long, axis=1
+    # long bands: applicable when band_start >= count1_r, sfb <= 20, pos < 7
+    band_start_l = _select_by_variant(vh, _LONG_BAND_START[:, :22])  # [T,22]
+    is_pos_l = b.scalefac_l[:, 0, :]  # [T, 22]
+    apply_l = (
+        gate
+        & (band_start_l >= c1r)
+        & (jnp.arange(22) <= 20)
+        & (is_pos_l < 7)
     )
-    cond_long = (band_start_l >= c1r) & (sfb_long <= 20)
-    is_pos_l = jnp.take_along_axis(b.scalefac_l[:, 0], sfb_long, axis=1)
+    ml_l = jnp.where(apply_l, _ratio_from_is_pos(is_pos_l, T.IS_RATIO_L), 1.0)
+    mr_l = jnp.where(apply_l, _ratio_from_is_pos(is_pos_l, T.IS_RATIO_R), 1.0)
 
-    band_start_s = jnp.take_along_axis(
-        _SHORT_BAND_START3[b.variant], sfb_short, axis=1
+    # short bands (win-major positions over the reordered data, matching the
+    # reference's indexing): applicable when 3*band_start >= count1_r,
+    # sfb <= 11, pos < 7
+    bs3 = _select_by_variant(vh, _SHORT_BAND_START3[:, :13])  # [T, 13]
+    band_start_s = jnp.repeat(bs3, 3, axis=1)  # [T, 39]
+    is_pos_s = b.scalefac_s[:, 0].reshape(-1, 39)
+    sfb_idx = jnp.repeat(jnp.arange(13), 3)
+    apply_s = (
+        gate
+        & (band_start_s >= c1r)
+        & (sfb_idx <= 11)
+        & (is_pos_s < 7)
     )
-    cond_short = (band_start_s >= c1r) & (sfb_short <= 11)
-    flat_idx = sfb_short * 3 + win
-    is_pos_s = jnp.take_along_axis(
-        b.scalefac_s[:, 0].reshape(-1, 39), flat_idx, axis=1
-    )
+    ml_s = jnp.where(apply_s, _ratio_from_is_pos(is_pos_s, T.IS_RATIO_L), 1.0)
+    mr_s = jnp.where(apply_s, _ratio_from_is_pos(is_pos_s, T.IS_RATIO_R), 1.0)
 
-    cond = jnp.where(line_long, cond_long, cond_short)
-    is_pos = jnp.where(line_long, is_pos_l, is_pos_s)
-    apply = (
-        (b.is_flag & ~b.mono)[:, None] & cond & (is_pos < 7)
-    )
-    is_pos_c = jnp.clip(is_pos, 0, 6)
-    rl = _IS_RATIO_L[is_pos_c]
-    rr = _IS_RATIO_R[is_pos_c]
-    left = jnp.where(apply, left * rl, left)
-    right = jnp.where(apply, right * rr, right)
+    # expand multipliers (default 1 -> encode as delta from 1)
+    def expand_pair(m_l, m_s):
+        dl = _expand_bands((m_l - 1.0)[:, None, :], vh, _E_LONG)[:, 0]
+        ds = _expand_bands((m_s - 1.0)[:, None, :], vh, _E_SHORT_IS)[:, 0]
+        cls0 = b.block_class[:, 0][:, None]
+        return 1.0 + jnp.where(_line_is_long(cls0), dl, ds)
+
+    mult_l_line = expand_pair(ml_l, ml_s)
+    mult_r_line = expand_pair(mr_l, mr_s)
+    left = left * mult_l_line
+    right = right * mult_r_line
     return jnp.stack([left, right], axis=1)
 
 
@@ -229,9 +265,14 @@ def _imdct(b: GranuleBatch, x: jax.Array) -> jax.Array:
     mixed = (b.block_class == T.CLASS_MIXED)[..., None]
     bt_eff = jnp.where(mixed & (sb_idx < 2), 0, bt)  # [T, 2, 32]
 
+    # window select chain (no gather): [T, 2, 32, 36]
+    win = jnp.zeros((*bt_eff.shape, 36), _F32)
+    for k in range(4):
+        win = jnp.where((bt_eff == k)[..., None], _IMDCT_WIN[k], win)
+
     raw_long = jnp.einsum(
         "tcbs,sp->tcbp", blocks, _COS_N36, precision=_HI
-    ) * _IMDCT_WIN[bt_eff]
+    ) * win
 
     sub = blocks.reshape(*blocks.shape[:3], 6, 3)  # [..., m, i]
     sub_t = jnp.swapaxes(sub, -1, -2)  # [..., i, m]
@@ -283,7 +324,6 @@ def decode_chunk_impl(
     rows past valid*576 are garbage and must be discarded by the caller.
     """
     x = _requantize(b)
-    x = _reorder(b, x)
     x = _stereo(b, x)
     x = _antialias(b, x)
     raw = _imdct(b, x)

@@ -201,6 +201,50 @@ for _lsf in range(2):
         LONG_BAND_START[v] = np.asarray(long_bands, dtype=np.int32)
         SHORT_BAND_START3[v] = 3 * np.asarray(short_bands, dtype=np.int32)
 
+# ---------------------------------------------------------------------------
+# Gather-free device formulation: post-reorder band maps + one-hot expansion
+# ---------------------------------------------------------------------------
+# The device path receives spectra ALREADY in reordered (interleaved) layout
+# (the host applies REORDER_PERM_SHORT after Huffman decode — a trivial int
+# shuffle there, a 9M-element gather avoided on TPU). Requantization maps are
+# therefore composed with the permutation: line l was source line perm[l].
+#
+# For mixed blocks, lines < 36 take the long path (masked elementwise), where
+# perm differs from the pure-short perm — but those lines use the long maps,
+# which are permutation-independent, so one composed short map serves both.
+
+REQ_SHORT_SFB_OF_LINE = np.zeros((N_BAND_VARIANTS, SAMPLES_PER_GR), np.int32)
+REQ_SHORT_WIN_OF_LINE = np.zeros((N_BAND_VARIANTS, SAMPLES_PER_GR), np.int32)
+for _v in range(N_BAND_VARIANTS):
+    perm = REORDER_PERM_SHORT[_v]
+    REQ_SHORT_SFB_OF_LINE[_v] = SHORT_SFB_OF_LINE[_v][perm]
+    REQ_SHORT_WIN_OF_LINE[_v] = SHORT_WIN_OF_LINE[_v][perm]
+
+# One-hot expansion matrices: per-band values -> per-line values as a matmul.
+# Rows are (variant, band) pairs; a granule writes its per-band values into
+# its variant's block (masked broadcast), zeros elsewhere, and one matmul
+# broadcasts them onto lines.
+#   E_LONG  [6*22, 576]  : row (v, sfb)        -> lines of long band sfb
+#   E_SHORT [6*39, 576]  : row (v, sfb*3+win)  -> post-reorder-map lines,
+#                          using the REQUANTIZE (composed) short maps
+#   E_SHORT_IS [6*39, 576]: same but with the INTENSITY maps (win-major
+#                          positions, frame.go:342 — the reference indexes
+#                          the reordered data win-major there)
+E_LONG = np.zeros((N_BAND_VARIANTS * 22, SAMPLES_PER_GR), np.float32)
+E_SHORT = np.zeros((N_BAND_VARIANTS * 39, SAMPLES_PER_GR), np.float32)
+E_SHORT_IS = np.zeros((N_BAND_VARIANTS * 39, SAMPLES_PER_GR), np.float32)
+for _v in range(N_BAND_VARIANTS):
+    for l in range(SAMPLES_PER_GR):
+        E_LONG[_v * 22 + LONG_SFB_OF_LINE[_v][l], l] = 1.0
+        E_SHORT[
+            _v * 39 + REQ_SHORT_SFB_OF_LINE[_v][l] * 3 + REQ_SHORT_WIN_OF_LINE[_v][l],
+            l,
+        ] = 1.0
+        E_SHORT_IS[
+            _v * 39 + SHORT_SFB_OF_LINE[_v][l] * 3 + SHORT_WIN_OF_LINE[_v][l],
+            l,
+        ] = 1.0
+
 # Block classes
 CLASS_LONG = 0
 CLASS_SHORT = 1

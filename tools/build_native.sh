@@ -4,5 +4,7 @@ set -e
 cd "$(dirname "$0")/.."
 g++ -O3 -march=native -std=c++17 -fPIC -shared -Wall -Wextra \
     go_mp3_tpu/native/mp3parse.cpp \
+    go_mp3_tpu/native/mp3dsp.cpp \
+    go_mp3_tpu/native/synth_window_data.cpp \
     -o go_mp3_tpu/native/libmp3parse.so
 echo "built go_mp3_tpu/native/libmp3parse.so"
