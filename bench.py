@@ -47,7 +47,7 @@ def main() -> None:
     fixture = "/root/reference/example/classic_lame.mp3"
     data = open(fixture, "rb").read()
 
-    n_streams = 32
+    n_streams = 64
     chunk_t = 256
 
     log(f"devices: {jax.devices()}")
@@ -116,13 +116,18 @@ def main() -> None:
     probe = np.asarray(pcm[0, 20 * SAMPLES_PER_GR : 60 * SAMPLES_PER_GR])
     assert np.abs(probe).max() > 100, "decoded PCM should not be silence"
 
-    # --- timed: pack + device decode over all chunks ------------------------
+    # --- timed: pack all chunks (host) --------------------------------------
+    t0 = time.perf_counter()
+    packed = [make_chunk(c * chunk_t) for c in range(n_chunks)]
+    pack_wall = time.perf_counter() - t0
+
+    # --- timed: upload + decode, pipelined (async dispatch) ----------------
     states = init_states(n_streams)
     t0 = time.perf_counter()
+    dev_chunks = [jax.device_put(b) for b, _ in packed]
     outs = []
-    for c in range(n_chunks):
-        b, valids = make_chunk(c * chunk_t)
-        pcm, states = decode_chunk_batch(b, states, valids)
+    for (b, valids), db in zip(packed, dev_chunks):
+        pcm, states = decode_chunk_batch(db, states, valids)
         outs.append(pcm)
     outs[-1].block_until_ready()
     device_wall = time.perf_counter() - t0
@@ -133,11 +138,11 @@ def main() -> None:
     h = np.asarray(outs[0])
     d2h = h.nbytes / 1e6 / (time.perf_counter() - t0)
 
-    total_wall = parse_wall + device_wall
+    total_wall = parse_wall + pack_wall + device_wall
     end_to_end_x = audio_secs / total_wall
     log(
         f"audio={audio_secs:.1f}s parse={parse_wall:.3f}s "
-        f"pack+device={device_wall:.3f}s ({device_x:.0f}x) "
+        f"pack={pack_wall:.3f}s device={device_wall:.3f}s ({device_x:.0f}x) "
         f"end-to-end {end_to_end_x:.1f}x; d2h {d2h:.0f} MB/s"
     )
 
@@ -147,7 +152,8 @@ def main() -> None:
         "unit": "x realtime per chip",
         "vs_baseline": round(end_to_end_x / 5000.0, 5),
         "detail": {
-            "pack_plus_device_x_realtime": round(device_x, 1),
+            "device_x_realtime": round(device_x, 1),
+            "host_pack_x_realtime": round(audio_secs / pack_wall, 1),
             "host_parse_x_realtime": round(audio_secs / parse_wall, 1),
             "n_streams": n_streams,
             "chunk_t": chunk_t,

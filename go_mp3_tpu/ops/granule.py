@@ -186,49 +186,60 @@ def _stereo(b: GranuleBatch, x: jax.Array) -> jax.Array:
     right = jnp.where(ms, new_r, right)
 
     # Intensity stereo (uses channel 0's block geometry; frame.go:379-419).
+    # The reference iterates BANDS, not lines: long blocks touch long bands
+    # 0..20; short blocks short bands 0..11; mixed blocks long bands 0..7
+    # AND short bands 3..11 — and since long band 8 can start past line 36,
+    # a mixed granule's overlap lines get BOTH multipliers applied. We
+    # therefore expand two independent per-band multiplier sets and multiply
+    # both in (each defaults to 1 where not applicable).
     vh = _variant_onehot(b.variant)
     c1r = b.count1_r.astype(_F32)[:, None]
     gate = (b.is_flag & ~b.mono)[:, None]  # [T, 1]
+    cls0 = b.block_class[:, 0][:, None]  # [T, 1]
 
-    # long bands: applicable when band_start >= count1_r, sfb <= 20, pos < 7
+    # long bands: processed for long (sfb 0..20) and mixed (sfb 0..7) blocks
     band_start_l = _select_by_variant(vh, _LONG_BAND_START[:, :22])  # [T,22]
     is_pos_l = b.scalefac_l[:, 0, :]  # [T, 22]
+    band_idx_l = jnp.arange(22)
+    long_cap = jnp.where(
+        cls0 == T.CLASS_LONG, 20, jnp.where(cls0 == T.CLASS_MIXED, 7, -1)
+    )
     apply_l = (
         gate
         & (band_start_l >= c1r)
-        & (jnp.arange(22) <= 20)
+        & (band_idx_l <= long_cap)
         & (is_pos_l < 7)
     )
     ml_l = jnp.where(apply_l, _ratio_from_is_pos(is_pos_l, T.IS_RATIO_L), 1.0)
     mr_l = jnp.where(apply_l, _ratio_from_is_pos(is_pos_l, T.IS_RATIO_R), 1.0)
 
     # short bands (win-major positions over the reordered data, matching the
-    # reference's indexing): applicable when 3*band_start >= count1_r,
-    # sfb <= 11, pos < 7
+    # reference's indexing): short blocks sfb 0..11, mixed blocks sfb 3..11
     bs3 = _select_by_variant(vh, _SHORT_BAND_START3[:, :13])  # [T, 13]
     band_start_s = jnp.repeat(bs3, 3, axis=1)  # [T, 39]
     is_pos_s = b.scalefac_s[:, 0].reshape(-1, 39)
     sfb_idx = jnp.repeat(jnp.arange(13), 3)
+    short_lo = jnp.where(
+        cls0 == T.CLASS_SHORT, 0, jnp.where(cls0 == T.CLASS_MIXED, 3, 13)
+    )
     apply_s = (
         gate
         & (band_start_s >= c1r)
+        & (sfb_idx >= short_lo)
         & (sfb_idx <= 11)
         & (is_pos_s < 7)
     )
     ml_s = jnp.where(apply_s, _ratio_from_is_pos(is_pos_s, T.IS_RATIO_L), 1.0)
     mr_s = jnp.where(apply_s, _ratio_from_is_pos(is_pos_s, T.IS_RATIO_R), 1.0)
 
-    # expand multipliers (default 1 -> encode as delta from 1)
+    # expand multipliers (default 1 -> encode as delta from 1) and compose
     def expand_pair(m_l, m_s):
         dl = _expand_bands((m_l - 1.0)[:, None, :], vh, _E_LONG)[:, 0]
         ds = _expand_bands((m_s - 1.0)[:, None, :], vh, _E_SHORT_IS)[:, 0]
-        cls0 = b.block_class[:, 0][:, None]
-        return 1.0 + jnp.where(_line_is_long(cls0), dl, ds)
+        return (1.0 + dl) * (1.0 + ds)
 
-    mult_l_line = expand_pair(ml_l, ml_s)
-    mult_r_line = expand_pair(mr_l, mr_s)
-    left = left * mult_l_line
-    right = right * mult_r_line
+    left = left * expand_pair(ml_l, ml_s)
+    right = right * expand_pair(mr_l, mr_s)
     return jnp.stack([left, right], axis=1)
 
 
