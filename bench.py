@@ -64,7 +64,7 @@ def main() -> None:
 
     # --- timed: parse all streams straight into stacked arrays -------------
     t0 = time.perf_counter()
-    spectra = np.zeros((n_streams, t_total, 2, 576), np.int32)
+    spectra = np.zeros((n_streams, t_total, 2, 576), np.int16)
     sfl = np.zeros((n_streams, t_total, 2, 22), np.int32)
     sfs = np.zeros((n_streams, t_total, 2, 39), np.int32)
     meta = np.zeros((n_streams, t_total, META_WIDTH), np.int32)

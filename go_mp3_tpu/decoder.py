@@ -396,7 +396,7 @@ class _NativeStream:
     def _decode_granules(self, want: int) -> bytes | None:
         np = self._np
         want = min(want, self.CHUNK)
-        spectra = np.zeros((want, 2, 576), np.int32)
+        spectra = np.zeros((want, 2, 576), np.int16)
         sfl = np.zeros((want, 2, 22), np.int32)
         sfs = np.zeros((want, 2, 39), np.int32)
         meta = np.zeros((want, self._meta_width), np.int32)

@@ -102,7 +102,7 @@ def pack_granule_batch(
     # Arrays stay numpy; jit converts once at dispatch (keeping this path
     # free of per-field device round-trips).
     batch = GranuleBatch(
-        spectra=stack(lambda g: g.spectra, (2, SAMPLES_PER_GR)),
+        spectra=stack(lambda g: g.spectra, (2, SAMPLES_PER_GR), np.int16),
         scalefac_l=stack(lambda g: g.scalefac_l, (2, 22)),
         scalefac_s=stack(lambda g: g.scalefac_s, (2, 13, 3)),
         global_gain=stack(lambda g: g.global_gain, (2,)),

@@ -69,7 +69,7 @@ def _load():
     lib.gmp_parse.argtypes = [
         ctypes.c_void_p,
         ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
@@ -80,7 +80,7 @@ def _load():
     lib.gmp_dsp_decode.argtypes = [
         ctypes.c_void_p,
         ctypes.c_int,
-        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int16),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
@@ -105,6 +105,10 @@ def available() -> bool:
 
 def _i32p(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+
+def _i16p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int16))
 
 
 class NativeParser:
@@ -150,16 +154,16 @@ class NativeParser:
         (shapes [cap,2,576], [cap,2,22], [cap,2,39], [cap,24], int32).
         Returns the number of granules produced (0 = end of audio)."""
         cap = spectra.shape[0]
-        for a, shape in (
-            (spectra, (cap, 2, 576)),
-            (sfl, (cap, 2, 22)),
-            (sfs, (cap, 2, 39)),
-            (meta, (cap, META_WIDTH)),
+        for a, shape, dt in (
+            (spectra, (cap, 2, 576), np.int16),
+            (sfl, (cap, 2, 22), np.int32),
+            (sfs, (cap, 2, 39), np.int32),
+            (meta, (cap, META_WIDTH), np.int32),
         ):
-            assert a.shape == shape and a.dtype == np.int32, (a.shape, a.dtype)
+            assert a.shape == shape and a.dtype == dt, (a.shape, a.dtype)
             assert a.flags.c_contiguous
         n = self._lib.gmp_parse(
-            self._p, cap, _i32p(spectra), _i32p(sfl), _i32p(sfs), _i32p(meta)
+            self._p, cap, _i16p(spectra), _i32p(sfl), _i32p(sfs), _i32p(meta)
         )
         if n < 0:
             err = self._lib.gmp_error(self._p).decode()
@@ -169,12 +173,12 @@ class NativeParser:
     def parse(self, cap: int):
         """Parse up to `cap` granules. Returns (n, spectra, sfl, sfs, meta)
         where n==0 signals end of audio. Raises on malformed streams."""
-        spectra = np.empty((cap, 2, 576), dtype=np.int32)
+        spectra = np.empty((cap, 2, 576), dtype=np.int16)
         sfl = np.empty((cap, 2, 22), dtype=np.int32)
         sfs = np.empty((cap, 2, 39), dtype=np.int32)
         meta = np.empty((cap, META_WIDTH), dtype=np.int32)
         n = self._lib.gmp_parse(
-            self._p, cap, _i32p(spectra), _i32p(sfl), _i32p(sfs), _i32p(meta)
+            self._p, cap, _i16p(spectra), _i32p(sfl), _i32p(sfs), _i32p(meta)
         )
         if n < 0:
             err = self._lib.gmp_error(self._p).decode()
@@ -192,7 +196,7 @@ class NativeParser:
         if not parts:
             z = np.zeros
             return (
-                z((0, 2, 576), np.int32),
+                z((0, 2, 576), np.int16),
                 z((0, 2, 22), np.int32),
                 z((0, 2, 39), np.int32),
                 z((0, META_WIDTH), np.int32),
@@ -236,12 +240,13 @@ class NativeDsp:
         """Decode n granule records -> int16 PCM [n*576, 2]."""
         n = spectra.shape[0]
         pcm = np.empty((n * 576, 2), dtype=np.int16)
-        for a in (spectra, sfl, sfs, meta):
+        assert spectra.dtype == np.int16 and spectra.flags.c_contiguous
+        for a in (sfl, sfs, meta):
             assert a.dtype == np.int32 and a.flags.c_contiguous
         self._lib.gmp_dsp_decode(
             self._s,
             n,
-            _i32p(spectra),
+            _i16p(spectra),
             _i32p(sfl),
             _i32p(sfs),
             _i32p(meta),

@@ -186,7 +186,7 @@ struct DspState {
 // Granule chain (float32 discipline identical to the reference)
 // ---------------------------------------------------------------------------
 
-static void requantize(const int32_t* spectra, const int32_t* sfl,
+static void requantize(const int16_t* spectra, const int32_t* sfl,
                        const int32_t* sfs, const int32_t* meta, int ch,
                        int lsf, int sfreq, float* out) {
   const DspTables& t = tables();
@@ -377,13 +377,13 @@ void gmp_dsp_reset(void* s) { *static_cast<DspState*>(s) = DspState(); }
 
 // Decode `n` granule records (from gmp_parse) to interleaved s16le stereo
 // PCM. pcm must hold n*576*2 int16.
-void gmp_dsp_decode(void* sv, int n, const int32_t* spectra,
+void gmp_dsp_decode(void* sv, int n, const int16_t* spectra,
                     const int32_t* sfl, const int32_t* sfs,
                     const int32_t* meta, int16_t* pcm) {
   DspState* st = static_cast<DspState*>(sv);
   float x[2][kSamplesPerGr];
   for (int g = 0; g < n; g++) {
-    const int32_t* sp = spectra + g * 2 * kSamplesPerGr;
+    const int16_t* sp = spectra + g * 2 * kSamplesPerGr;
     const int32_t* fl = sfl + g * 2 * 22;
     const int32_t* fs = sfs + g * 2 * 39;
     const int32_t* mg = meta + g * M_WIDTH;

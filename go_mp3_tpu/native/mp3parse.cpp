@@ -180,25 +180,36 @@ struct BitReader {
     return b;
   }
 
+  static uint64_t be64(const uint8_t* p) {
+    uint64_t w;
+    memcpy(&w, p, 8);
+    return __builtin_bswap64(w);
+  }
+
   uint32_t bits(int num) {
     if (num == 0) return 0;
     if (pos + num > total_bits()) { err = true; return 0; }
-    uint32_t out = 0;
-    int64_t p = pos;
-    // gather up to 4 bytes from p>>3 (num <= 24, offset <= 7 -> fits 32)
+    int64_t bp = pos >> 3;
+    if (bp + 8 <= nbytes) {  // fast path: unaligned 64-bit window
+      uint64_t w = be64(vec + bp) << (pos & 7);
+      pos += num;
+      return uint32_t(w >> (64 - num));
+    }
     uint32_t tmp = 0;
-    int64_t bp = p >> 3;
     for (int i = 0; i < 4; i++)
       tmp = (tmp << 8) | (bp + i < nbytes ? vec[bp + i] : 0);
-    tmp <<= (p & 7);
-    out = tmp >> (32 - num);
-    pos = p + num;
+    tmp <<= (pos & 7);
+    uint32_t out = tmp >> (32 - num);
+    pos += num;
     return out;
   }
 
   uint32_t peek_padded(int num) const {
-    // num <= 19 + 7 offset -> needs up to 4 bytes
     int64_t bp = pos >> 3;
+    if (bp + 8 <= nbytes) {  // fast path (num <= 19 + 7 offset < 64)
+      uint64_t w = be64(vec + bp) << (pos & 7);
+      return uint32_t(w >> (64 - num));
+    }
     uint64_t tmp = 0;
     for (int i = 0; i < 5; i++)
       tmp = (tmp << 8) | (bp + i < nbytes ? vec[bp + i] : 0);
@@ -330,6 +341,7 @@ struct Parser {
   int64_t pos = 0;
 
   std::vector<uint8_t> reservoir;       // previous assembled main-data buf
+  std::vector<uint8_t> scratch;         // reused assembly buffer
   bool has_prev = false;
   int sample_rate = 0;
   const char* error = "";
@@ -430,9 +442,9 @@ struct Parser {
   // Huffman spectral decode for one granule/channel
   // (mirrors bitstream/maindata.py _read_huffman)
   Status read_huffman(BitReader& m, const Header& h, SideInfo* si, int gr,
-                      int ch, int64_t part2_start, int32_t* is_out) {
+                      int ch, int64_t part2_start, int16_t* is_out) {
     if (si->part2_3_length[gr][ch] == 0) {
-      memset(is_out, 0, kSamplesPerGr * sizeof(int32_t));
+      memset(is_out, 0, kSamplesPerGr * sizeof(int16_t));
       si->count1[gr][ch] = 0;
       return OK;
     }
@@ -458,25 +470,25 @@ struct Parser {
                                            : is_pos < region2_start ? 1
                                                                     : 2];
       huff_decode(m, table, &x, &y, &v, &w);
-      is_out[is_pos++] = x;
-      is_out[is_pos++] = y;
+      is_out[is_pos++] = int16_t(x);
+      is_out[is_pos++] = int16_t(y);
     }
     int table = si->count1_table[gr][ch] + 32;
     while (is_pos <= 572 && m.pos <= bit_pos_end) {
       huff_decode(m, table, &x, &y, &v, &w);
-      is_out[is_pos++] = v;
+      is_out[is_pos++] = int16_t(v);
       if (is_pos >= kSamplesPerGr) break;
-      is_out[is_pos++] = w;
+      is_out[is_pos++] = int16_t(w);
       if (is_pos >= kSamplesPerGr) break;
-      is_out[is_pos++] = x;
+      is_out[is_pos++] = int16_t(x);
       if (is_pos >= kSamplesPerGr) break;
-      is_out[is_pos++] = y;
+      is_out[is_pos++] = int16_t(y);
     }
     if (m.pos > bit_pos_end + 1) is_pos -= 4;
     if (is_pos < 0) is_pos = 0;
     si->count1[gr][ch] = is_pos;
     if (is_pos < kSamplesPerGr)
-      memset(is_out + is_pos, 0, (kSamplesPerGr - is_pos) * sizeof(int32_t));
+      memset(is_out + is_pos, 0, (kSamplesPerGr - is_pos) * sizeof(int16_t));
     m.pos = bit_pos_end + 1;
     m.err = false;
     return OK;
@@ -485,7 +497,7 @@ struct Parser {
   // Scalefactor + spectral decode (MPEG-1), writing straight into the
   // output arrays for granule records g0/g0+1.
   Status scalefactors_mpeg1(BitReader& m, const Header& h, SideInfo* si,
-                            int32_t* sfl, int32_t* sfs, int32_t* spectra) {
+                            int32_t* sfl, int32_t* sfs, int16_t* spectra) {
     int nch = h.nch();
     // sfl layout per granule record: [2][22]; sfs: [2][13*3]
     for (int gr = 0; gr < 2; gr++) {
@@ -535,7 +547,7 @@ struct Parser {
   }
 
   Status scalefactors_mpeg2(BitReader& m, const Header& h, SideInfo* si,
-                            int32_t* sfl, int32_t* sfs, int32_t* spectra) {
+                            int32_t* sfl, int32_t* sfs, int16_t* spectra) {
     int nch = h.nch();
     for (int ch = 0; ch < nch; ch++) {
       int64_t part2_start = m.pos;
@@ -575,7 +587,7 @@ struct Parser {
 
   // Parse one frame; on success append its granules to the output arrays.
   // Writes at offsets g (granule index) into caller arrays.
-  Status parse_frame(int32_t* spectra, int32_t* sfl, int32_t* sfs,
+  Status parse_frame(int16_t* spectra, int32_t* sfl, int32_t* sfs,
                      int32_t* meta, int* granules_out, int64_t* frame_pos) {
     Header h;
     Status st = read_header(&h);
@@ -600,11 +612,11 @@ struct Parser {
     if (main_size < 0) { error = "negative main size"; return HARD_ERROR; }
     if (remaining() < main_size) return END_OF_AUDIO;
 
-    std::vector<uint8_t> assembled;
+    std::vector<uint8_t>& assembled = scratch;
+    assembled.clear();
     int offset = si.main_data_begin;
     if (has_prev && offset > int(reservoir.size())) {
       // underfilled reservoir: decode anyway from full prev + new bytes
-      assembled.reserve(reservoir.size() + main_size);
       assembled.insert(assembled.end(), reservoir.begin(), reservoir.end());
     } else {
       if (has_prev && offset > 0)
@@ -618,7 +630,7 @@ struct Parser {
 
     int ngr = h.granules();
     // zero granule records (mono ch1, unset scalefacs)
-    memset(spectra, 0, ngr * 2 * kSamplesPerGr * sizeof(int32_t));
+    memset(spectra, 0, ngr * 2 * kSamplesPerGr * sizeof(int16_t));
     memset(sfl, 0, ngr * 2 * 22 * sizeof(int32_t));
     memset(sfs, 0, ngr * 2 * 39 * sizeof(int32_t));
 
@@ -635,15 +647,15 @@ struct Parser {
           continue;
         int kind = si.mixed_flag[gr][ch] ? 1 : 0;
         const int16_t* p = kReorder.perm[h.lsf()][h.sfreq()][kind];
-        int32_t* s = spectra + (gr * 2 + ch) * kSamplesPerGr;
-        int32_t tmp[kSamplesPerGr];
+        int16_t* s = spectra + (gr * 2 + ch) * kSamplesPerGr;
+        int16_t tmp[kSamplesPerGr];
         for (int l = 0; l < kSamplesPerGr; l++) tmp[l] = s[p[l]];
         memcpy(s, tmp, sizeof(tmp));
       }
     }
 
     // keep the full assembled buffer as the next frame's reservoir source
-    reservoir = std::move(assembled);
+    reservoir.swap(assembled);  // scratch now holds the old reservoir
     has_prev = true;
     if (sample_rate == 0) sample_rate = h.sample_rate();
 
@@ -703,7 +715,7 @@ const char* gmp_error(void* p) { return static_cast<Parser*>(p)->error; }
 //   spectra [cap][2][576] i32, sfl [cap][2][22] i32, sfs [cap][2][39] i32,
 //   meta [cap][24] i32.
 // Returns granules produced (0 = end of audio), or -1 on hard error.
-int gmp_parse(void* pv, int cap, int32_t* spectra, int32_t* sfl, int32_t* sfs,
+int gmp_parse(void* pv, int cap, int16_t* spectra, int32_t* sfl, int32_t* sfs,
               int32_t* meta) {
   Parser* p = static_cast<Parser*>(pv);
   int g = 0;

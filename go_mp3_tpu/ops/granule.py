@@ -43,7 +43,7 @@ _HI = jax.lax.Precision.HIGHEST
 class GranuleBatch(NamedTuple):
     """Fixed-shape device representation of T parsed granules."""
 
-    spectra: jax.Array  # int32 [T, 2, 576] Huffman values, POST-REORDER layout
+    spectra: jax.Array  # int16 [T, 2, 576] Huffman values, POST-REORDER layout
     scalefac_l: jax.Array  # int32 [T, 2, 22]
     scalefac_s: jax.Array  # int32 [T, 2, 13, 3]
     global_gain: jax.Array  # int32 [T, 2]

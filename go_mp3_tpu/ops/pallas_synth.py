@@ -1,0 +1,170 @@
+"""Fused Pallas TPU kernel for the polyphase synthesis filterbank.
+
+Covers the hottest stage of the granule chain (frame.go:630-688 re-expressed
+as matrixing + 16-tap FIR over the v-vector FIFO, see ops/granule.py): one
+kernel computes, entirely in VMEM,
+
+    V = S @ Nwin^T          (matrixing, MXU)
+    pcm[r, i] = sum_k V[r-k, off_k + i] * D[32k + i]   (FIR, VPU)
+
+for all T*18 synthesis steps of a chunk with both channels packed into the
+128-lane dimension (ch0 lanes 0:63, ch1 lanes 64:127 of the matrixed V), so
+the MXU matmul runs at full lane width and V never round-trips to HBM.
+
+The kernel is exposed through `polyphase_pallas` with the same contract as
+the XLA formulation in granule.py (`_polyphase`), and `decode_chunk_pallas`
+swaps it into the full chunk decoder. On non-TPU backends the kernel runs in
+interpreter mode so tests validate it everywhere.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+try:  # TPU-only module; import lazily-safe
+    from jax.experimental.pallas import tpu as pltpu
+
+    _HAS_PLTPU = True
+except Exception:  # pragma: no cover
+    _HAS_PLTPU = False
+
+from ..consts import SAMPLES_PER_GR
+from . import tables as T
+from .granule import DecodeState, GranuleBatch
+
+# Block-diagonal matrixing weights [64, 128]:
+#   w2[0:32, 0:64] = Nwin^T for channel 0, w2[32:64, 64:128] for channel 1
+_NWIN_T = T.SYNTH_N_WIN.T.astype(np.float32)  # [32, 64]
+_W2 = np.zeros((64, 128), np.float32)
+_W2[0:32, 0:64] = _NWIN_T
+_W2[32:64, 64:128] = _NWIN_T
+
+_D16 = T.SYNTH_DTBL.reshape(16, 32)  # D[32k + i]
+
+
+def _synth_kernel(
+    valid_ref, s2_ref, w2_ref, vh0_ref, d_ref, out_ref, vtail_ref, vh_scratch
+):
+    """s2: [R, 64] (ch0 lanes 0:32 | ch1 32:64) time-major synthesis inputs;
+    vh0: [16, 128] packed v-history (oldest first); d: [16, 32];
+    valid: [1] granule count (state is taken after valid*18 rows, so padded
+    chunks carry correct state); out: [R, 64] windowed sums (ch0 | ch1);
+    vtail: [16, 128] history after the valid rows; vh_scratch: [R+16, 128]
+    VMEM staging for the v-history (refs support dynamic slicing)."""
+    s2 = s2_ref[:]
+    v2 = jnp.dot(s2, w2_ref[:], preferred_element_type=jnp.float32)  # [R,128]
+    rows = s2.shape[0]
+    vh_scratch[0:16] = vh0_ref[:]
+    vh_scratch[16 : 16 + rows] = v2
+    vh = vh_scratch[:]
+    acc0 = jnp.zeros((rows, 32), jnp.float32)
+    acc1 = jnp.zeros((rows, 32), jnp.float32)
+    for k in range(16):
+        off = 0 if k % 2 == 0 else 32
+        dk = d_ref[k, :]
+        window = vh[16 - k : 16 - k + rows]
+        acc0 = acc0 + window[:, off : off + 32] * dk
+        acc1 = acc1 + window[:, 64 + off : 64 + off + 32] * dk
+    out_ref[:] = jnp.concatenate([acc0, acc1], axis=1)
+    start = valid_ref[0] * 18
+    vtail_ref[:] = vh_scratch[pl.ds(start, 16)]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def polyphase_pallas(
+    x18: jax.Array,
+    v_fifo_in: jax.Array,
+    valid: jax.Array | None = None,
+    interpret: bool = False,
+) -> tuple[jax.Array, jax.Array]:
+    """Drop-in fused replacement for granule._polyphase.
+
+    x18: [T, 2, 32, 18] hybrid output. Returns (pcm_f32 [2, T*18, 32],
+    v_fifo_out [2, 16, 64] taken after `valid` granules (default: all T))."""
+    t_dim = x18.shape[0]
+    rows = t_dim * 18
+    if valid is None:
+        valid = jnp.int32(t_dim)
+    s = jnp.swapaxes(x18, -1, -2)  # [T, 2, 18, 32]
+    # pack channels into lanes: [R, 64]
+    s2 = jnp.concatenate(
+        [
+            s[:, 0].reshape(rows, 32),
+            s[:, 1].reshape(rows, 32),
+        ],
+        axis=1,
+    )
+    # packed v-history, oldest-first: [16, 128]
+    vh0 = jnp.concatenate(
+        [v_fifo_in[0, ::-1], v_fifo_in[1, ::-1]], axis=1
+    )
+
+    assert _HAS_PLTPU, "pallas TPU support unavailable"
+    scratch_shapes = [pltpu.VMEM((rows + 16, 128), jnp.float32)]
+    out, vtail = pl.pallas_call(
+        _synth_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, 64), jnp.float32),
+            jax.ShapeDtypeStruct((16, 128), jnp.float32),
+        ),
+        scratch_shapes=scratch_shapes,
+        interpret=interpret,
+    )(
+        jnp.reshape(valid.astype(jnp.int32), (1,)),
+        s2,
+        jnp.asarray(_W2),
+        vh0,
+        jnp.asarray(_D16),
+    )
+
+    pcm = jnp.stack([out[:, :32], out[:, 32:]], axis=0)  # [2, R, 32]
+    v_fifo_out = jnp.stack(
+        [vtail[::-1, :64], vtail[::-1, 64:]], axis=0
+    )  # [2, 16, 64], newest first
+    return pcm, v_fifo_out
+
+
+def _decode_chunk_pallas_impl(
+    b: GranuleBatch, state: DecodeState, valid: jax.Array, interpret: bool
+):
+    """decode_chunk with the fused Pallas synthesis stage."""
+    from . import granule as G
+
+    x = G._requantize(b)
+    x = G._stereo(b, x)
+    x = G._antialias(b, x)
+    raw = G._imdct(b, x)
+    out18, uppers = G._overlap_fold(raw, state.store)
+    x18 = out18 * G._FREQ_INV
+
+    pcm_f, v_fifo_out = polyphase_pallas(
+        x18, state.v_fifo, valid=valid, interpret=interpret
+    )
+
+    t_dim = b.spectra.shape[0]
+    samp = jnp.clip(pcm_f * 32767.0, -32767.0, 32767.0).astype(jnp.int32)
+    pcm = samp.astype(jnp.int16).reshape(2, t_dim * SAMPLES_PER_GR)
+    pcm = jnp.swapaxes(pcm, 0, 1)
+    mono_rows = jnp.repeat(
+        b.mono, SAMPLES_PER_GR, total_repeat_length=t_dim * SAMPLES_PER_GR
+    )
+    pcm = jnp.where(mono_rows[:, None], pcm[:, :1], pcm)
+
+    store_out = jax.lax.dynamic_index_in_dim(
+        uppers, jnp.maximum(valid - 1, 0), axis=0, keepdims=False
+    )
+    store_out = jnp.where(valid > 0, store_out, state.store)
+    return pcm, DecodeState(store=store_out, v_fifo=v_fifo_out)
+
+
+decode_chunk_pallas = jax.jit(
+    functools.partial(_decode_chunk_pallas_impl, interpret=False)
+)
+decode_chunk_pallas_interpret = jax.jit(
+    functools.partial(_decode_chunk_pallas_impl, interpret=True)
+)

@@ -158,7 +158,7 @@ def test_three_way_parity(seed):
         for granules in case_granules:
             dsp.reset()
             spectra = np.ascontiguousarray(
-                np.stack([g.spectra for g in granules]).astype(np.int32)
+                np.stack([g.spectra for g in granules]).astype(np.int16)
             )
             sfl = np.ascontiguousarray(
                 np.stack([g.scalefac_l for g in granules]).astype(np.int32)
