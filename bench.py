@@ -44,8 +44,23 @@ def main() -> None:
     from go_mp3_tpu.ops.granule import GranuleBatch, decode_chunk_batch
     from go_mp3_tpu.parallel.mesh import init_states
 
+    import os
+
+    if os.environ.get("GOMP3_USE_PALLAS"):
+        from go_mp3_tpu.ops.pallas_synth import _decode_chunk_pallas_impl
+        import functools
+
+        decode_chunk_batch = jax.jit(
+            jax.vmap(functools.partial(_decode_chunk_pallas_impl, interpret=False))
+        )
+        log("using fused Pallas synthesis kernel")
+
     fixture = "/root/reference/example/classic_lame.mp3"
-    data = open(fixture, "rb").read()
+    # each stream is the fixture concatenated `repeat` times (parsed for
+    # real, frame boundaries align) so per-chunk dispatch overhead amortizes
+    # over a realistic corpus length
+    repeat = 4
+    data = open(fixture, "rb").read() * repeat
 
     n_streams = 64
     chunk_t = 256

@@ -231,6 +231,92 @@ class Decoder:
         self._buf += self._dsp.decode_frames(frames)
         return True
 
+    # -- checkpoint / resume -------------------------------------------------
+    def checkpoint(self) -> dict:
+        """Snapshot the full decode state for sample-exact resumption.
+
+        The reference keeps this state implicit ({reservoir bytes, IMDCT
+        store, polyphase vVec, byte position}, SURVEY.md §5); here it is an
+        explicit dict of plain bytes/numpy values. Restore with `resume()`
+        on a Decoder over the same stream — unlike seek() (which re-warms
+        state approximately), resumption is exact."""
+        import numpy as np
+
+        ck: dict = {
+            "pos": self._pos,
+            "buf": bytes(self._buf),
+            "at_end": self._at_end,
+            "backend": self._backend_name,
+        }
+        if self._native is not None:
+            ck["parser_offset"] = self._native._parser.tell()
+            ck["reservoir"] = self._native._parser.get_reservoir()
+            if self._native._dsp_kind == "exact":
+                store, vvec = self._native._cpu_dsp.get_state()
+                ck["dsp"] = ("exact", store, vvec)
+            else:
+                st = self._native._state
+                ck["dsp"] = (
+                    "device",
+                    np.asarray(st.store),
+                    np.asarray(st.v_fifo),
+                )
+            return ck
+        # pure-Python parse path
+        prev = self._frame_reader.prev_bits
+        ck["reservoir"] = prev.vec if prev is not None else b""
+        ck["source_pos"] = self._source.pos
+        ck["have_frame"] = self._have_frame
+        if self._backend_name == "golden":
+            gd = self._dsp._gd
+            ck["dsp"] = ("golden", gd.store.copy(), gd.v_fifo.copy())
+        else:
+            st = self._dsp._sd.state
+            ck["dsp"] = ("device", np.asarray(st.store), np.asarray(st.v_fifo))
+        return ck
+
+    def resume(self, ck: dict) -> None:
+        """Restore a checkpoint() snapshot (same stream, same backend)."""
+        if ck["backend"] != self._backend_name:
+            raise MP3Error("mp3: checkpoint backend mismatch")
+        self._pos = ck["pos"]
+        self._buf = bytearray(ck["buf"])
+        self._at_end = ck["at_end"]
+        kind, a, b = ck["dsp"]
+        if self._native is not None:
+            self._native.restart(ck["parser_offset"])
+            self._native._parser.set_reservoir(ck["reservoir"])
+            if kind == "exact":
+                self._native._cpu_dsp.set_state(a, b)
+            else:
+                import jax.numpy as jnp
+
+                from .ops.granule import DecodeState
+
+                self._native._state = DecodeState(
+                    store=jnp.asarray(a), v_fifo=jnp.asarray(b)
+                )
+            return
+        from .bitstream.bits import BitReader
+
+        self._source.seek(ck["source_pos"])
+        self._frame_reader.prev_bits = (
+            BitReader(ck["reservoir"]) if ck["reservoir"] else None
+        )
+        self._have_frame = ck["have_frame"]
+        if kind == "golden":
+            gd = self._dsp._gd
+            gd.store = a.copy()
+            gd.v_fifo = b.copy()
+        else:
+            import jax.numpy as jnp
+
+            from .ops.granule import DecodeState
+
+            self._dsp._sd.state = DecodeState(
+                store=jnp.asarray(a), v_fifo=jnp.asarray(b)
+            )
+
     # -- metadata / navigation ---------------------------------------------
     def _ensure_frame_starts_and_length(self) -> None:
         """Index pass over the whole file, headers only (decode.go:154-216)."""

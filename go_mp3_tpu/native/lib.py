@@ -86,6 +86,29 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int16),
     ]
+    lib.gmp_pos.restype = ctypes.c_int64
+    lib.gmp_pos.argtypes = [ctypes.c_void_p]
+    lib.gmp_get_reservoir.restype = ctypes.c_int
+    lib.gmp_get_reservoir.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
+    lib.gmp_set_reservoir.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int,
+    ]
+    lib.gmp_dsp_get_state.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.gmp_dsp_set_state.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+    ]
     lib.gmp_index.restype = ctypes.c_int64
     lib.gmp_index.argtypes = [
         ctypes.c_char_p,
@@ -124,9 +147,25 @@ class NativeParser:
         self._lib = lib
         self._data = data  # keep alive
         offset = int(offset)
+        self.base_offset = offset
         base = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p).value
         ptr = ctypes.c_char_p(base + offset)
         self._p = lib.gmp_create(ptr, len(data) - offset)
+
+    def tell(self) -> int:
+        """Current byte position within the original buffer."""
+        return self.base_offset + int(self._lib.gmp_pos(self._p))
+
+    def get_reservoir(self) -> bytes:
+        buf = (ctypes.c_uint8 * 2048)()
+        n = self._lib.gmp_get_reservoir(self._p, buf, 2048)
+        return bytes(buf[:n])
+
+    def set_reservoir(self, data: bytes) -> None:
+        buf = (ctypes.c_uint8 * max(len(data), 1)).from_buffer_copy(
+            data or b"\x00"
+        )
+        self._lib.gmp_set_reservoir(self._p, buf, len(data))
 
     def close(self) -> None:
         if self._p:
@@ -229,6 +268,27 @@ class NativeDsp:
 
     def reset(self) -> None:
         self._lib.gmp_dsp_reset(self._s)
+
+    def get_state(self) -> tuple[np.ndarray, np.ndarray]:
+        """(store [2,32,18] f32, v_vec [2,1024] f32) for checkpointing."""
+        store = np.empty((2, 32, 18), np.float32)
+        vvec = np.empty((2, 1024), np.float32)
+        self._lib.gmp_dsp_get_state(
+            self._s,
+            store.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            vvec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
+        return store, vvec
+
+    def set_state(self, store: np.ndarray, v_vec: np.ndarray) -> None:
+        store = np.ascontiguousarray(store, np.float32)
+        v_vec = np.ascontiguousarray(v_vec, np.float32)
+        assert store.shape == (2, 32, 18) and v_vec.shape == (2, 1024)
+        self._lib.gmp_dsp_set_state(
+            self._s,
+            store.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            v_vec.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        )
 
     def decode(
         self,

@@ -375,6 +375,19 @@ void* gmp_dsp_create() { return new DspState(); }
 void gmp_dsp_destroy(void* s) { delete static_cast<DspState*>(s); }
 void gmp_dsp_reset(void* s) { *static_cast<DspState*>(s) = DspState(); }
 
+// Checkpoint/resume: expose the DSP state (store [2*32*18] f32 and the
+// polyphase vVec [2*1024] f32) for sample-exact decode resumption.
+void gmp_dsp_get_state(void* sv, float* store, float* vvec) {
+  DspState* st = static_cast<DspState*>(sv);
+  memcpy(store, st->store, sizeof(st->store));
+  memcpy(vvec, st->v_vec, sizeof(st->v_vec));
+}
+void gmp_dsp_set_state(void* sv, const float* store, const float* vvec) {
+  DspState* st = static_cast<DspState*>(sv);
+  memcpy(st->store, store, sizeof(st->store));
+  memcpy(st->v_vec, vvec, sizeof(st->v_vec));
+}
+
 // Decode `n` granule records (from gmp_parse) to interleaved s16le stereo
 // PCM. pcm must hold n*576*2 int16.
 void gmp_dsp_decode(void* sv, int n, const int16_t* spectra,

@@ -711,6 +711,27 @@ int gmp_sample_rate(void* p) { return static_cast<Parser*>(p)->sample_rate; }
 
 const char* gmp_error(void* p) { return static_cast<Parser*>(p)->error; }
 
+// Checkpoint/resume support: byte position within the creation buffer and
+// the bit-reservoir contents (the previous frame's assembled main-data
+// buffer; its tail feeds the next frame's main_data_begin backreference).
+int64_t gmp_pos(void* pv) { return static_cast<Parser*>(pv)->pos; }
+
+int gmp_get_reservoir(void* pv, uint8_t* out, int cap) {
+  Parser* p = static_cast<Parser*>(pv);
+  if (!p->has_prev) return 0;
+  int n = int(p->reservoir.size());
+  if (n > cap) n = cap;
+  // keep the TAIL (only the last <=511 bytes are ever referenced)
+  memcpy(out, p->reservoir.data() + (p->reservoir.size() - n), n);
+  return n;
+}
+
+void gmp_set_reservoir(void* pv, const uint8_t* data, int len) {
+  Parser* p = static_cast<Parser*>(pv);
+  p->reservoir.assign(data, data + len);
+  p->has_prev = len > 0;
+}
+
 // Parse up to `cap` granules into the caller-provided arrays:
 //   spectra [cap][2][576] i32, sfl [cap][2][22] i32, sfs [cap][2][39] i32,
 //   meta [cap][24] i32.

@@ -47,6 +47,15 @@ _W2[32:64, 64:128] = _NWIN_T
 _D16 = T.SYNTH_DTBL.reshape(16, 32)  # D[32k + i]
 
 
+def _pick_tile(rows: int) -> int:
+    """Largest row-tile (multiple of 18, <= 288 rows) dividing `rows`, so the
+    per-iteration VMEM working set stays small."""
+    for g in (16, 8, 4, 2, 1):
+        if rows % (18 * g) == 0:
+            return 18 * g
+    return rows
+
+
 def _synth_kernel(
     valid_ref, s2_ref, w2_ref, vh0_ref, d_ref, out_ref, vtail_ref, vh_scratch
 ):
@@ -55,22 +64,37 @@ def _synth_kernel(
     valid: [1] granule count (state is taken after valid*18 rows, so padded
     chunks carry correct state); out: [R, 64] windowed sums (ch0 | ch1);
     vtail: [16, 128] history after the valid rows; vh_scratch: [R+16, 128]
-    VMEM staging for the v-history (refs support dynamic slicing)."""
-    s2 = s2_ref[:]
-    v2 = jnp.dot(s2, w2_ref[:], preferred_element_type=jnp.float32)  # [R,128]
-    rows = s2.shape[0]
+    VMEM staging for the v-history.
+
+    The matrixing + FIR runs in sequential row tiles over the scratch ref so
+    only one tile's working set is live (the full-chunk form blows the
+    scoped-VMEM budget at T=256)."""
+    rows = s2_ref.shape[0]
+    tile = _pick_tile(rows)
+    n_tiles = rows // tile
     vh_scratch[0:16] = vh0_ref[:]
-    vh_scratch[16 : 16 + rows] = v2
-    vh = vh_scratch[:]
-    acc0 = jnp.zeros((rows, 32), jnp.float32)
-    acc1 = jnp.zeros((rows, 32), jnp.float32)
-    for k in range(16):
-        off = 0 if k % 2 == 0 else 32
-        dk = d_ref[k, :]
-        window = vh[16 - k : 16 - k + rows]
-        acc0 = acc0 + window[:, off : off + 32] * dk
-        acc1 = acc1 + window[:, 64 + off : 64 + off + 32] * dk
-    out_ref[:] = jnp.concatenate([acc0, acc1], axis=1)
+
+    def body(t, carry):
+        base = t * tile
+        v = jnp.dot(
+            s2_ref[pl.ds(base, tile)],
+            w2_ref[:],
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # [tile, 128]
+        vh_scratch[pl.ds(16 + base, tile)] = v
+        acc0 = jnp.zeros((tile, 32), jnp.float32)
+        acc1 = jnp.zeros((tile, 32), jnp.float32)
+        for k in range(16):
+            off = 0 if k % 2 == 0 else 32
+            dk = d_ref[k, :]
+            window = vh_scratch[pl.ds(16 + base - k, tile)]
+            acc0 = acc0 + window[:, off : off + 32] * dk
+            acc1 = acc1 + window[:, 64 + off : 64 + off + 32] * dk
+        out_ref[pl.ds(base, tile)] = jnp.concatenate([acc0, acc1], axis=1)
+        return carry
+
+    jax.lax.fori_loop(0, n_tiles, body, 0)
     start = valid_ref[0] * 18
     vtail_ref[:] = vh_scratch[pl.ds(start, 16)]
 

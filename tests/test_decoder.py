@@ -89,6 +89,37 @@ def test_non_seekable_source_degrades():
     assert len(d.read_all()) == 2 * 1152 * 4
 
 
+def test_crc_protected_frames():
+    """protection_bit == 0 frames carry a 2-byte CRC that is read and
+    ignored (ref: frame.go:56-65, value never checked)."""
+    from util_synth import mpeg1_layer3_header
+
+    word = mpeg1_layer3_header(protection=0)
+    frame = bytearray(417)
+    frame[0:4] = word.to_bytes(4, "big")
+    frame[4:6] = b"\xde\xad"  # arbitrary CRC value
+    data = bytes(frame) * 3
+    d = Decoder(data, backend="golden")
+    assert d.length() == 3 * 1152 * 4
+    assert set(d.read_all()) == {0}
+
+
+def test_vbr_mixed_bitrates():
+    """Frames of different bitrates (VBR) in one stream: frame sizes differ
+    but PCM-bytes-per-frame stays constant, so length/seek math holds."""
+    data = (
+        silent_frame(bitrate_index=9)
+        + silent_frame(bitrate_index=11)
+        + silent_frame(bitrate_index=14)
+        + silent_frame(bitrate_index=9)
+    )
+    d = Decoder(data, backend="golden")
+    assert d.length() == 4 * 1152 * 4
+    assert len(d.read_all()) == 4 * 1152 * 4
+    d.seek(2 * 4608)
+    assert len(d.read(4608)) == 4608
+
+
 def test_garbage_input_rejected():
     from go_mp3_tpu.consts import MP3Error
 
