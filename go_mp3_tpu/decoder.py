@@ -8,8 +8,11 @@ always 16-bit little-endian stereo (4 bytes per sample), mono duplicated.
 
 The DSP backend is selectable:
  - "device" (default): the batched JAX path (go_mp3_tpu.ops.granule) with
-   read-ahead so device dispatches amortize over many frames,
- - "golden": the numpy float64 golden chain (bit-stable, host-only).
+   read-ahead so device dispatches amortize over many frames; uses the C++
+   parser when the source fits in memory,
+ - "exact": C++ parse + C++ DSP replicating the reference decoder's float32
+   operation order (bit-exact mode; no accelerator involved),
+ - "golden": the numpy float64 golden chain (correctness oracle, host-only).
 """
 
 from __future__ import annotations
