@@ -161,6 +161,139 @@ static const HuffLuts& huff_luts() {
 }
 
 // ---------------------------------------------------------------------------
+// Fast two-level pair LUTs + sign-baked quad LUTs (the hot decode path).
+//
+// Primary tables are 1<<kPrimBits entries (2 KiB) so they stay L1-resident;
+// codewords longer than kPrimBits (rare by construction — long codes are
+// low-probability symbols) chain to a secondary table. Entry format:
+//   bit 15      escape to secondary
+//   bits 8..12  codeword length (<= 19)
+//   bits 4..7   x
+//   bits 0..3   y
+// Escape entries: bits 0..14 = base index into `sec`; the next
+// (maxlen - prim_bits) window bits are added to it.
+// ---------------------------------------------------------------------------
+
+constexpr int kPrimBits = 10;
+
+struct PairLut {
+  int prim_bits = 0;
+  int sec_shift = 0;  // maxlen - prim_bits (0 when single-level)
+  std::vector<uint16_t> prim;
+  std::vector<uint16_t> sec;
+};
+
+struct QuadLut {
+  int bits = 0;  // maxlen + 4 (codeword + up to 4 sign bits)
+  std::vector<uint16_t> lut;  // adv<<8 | v<<6 | w<<4 | x<<2 | y (2-bit signed)
+};
+
+struct FastLuts {
+  PairLut pair_by_table[34];
+  QuadLut quad[2];  // tables 32, 33
+
+  static void build_pair(const HuffEntry* book, int size, PairLut* out) {
+    int maxlen = 0;
+    for (int i = 0; i < size; i++)
+      if (book[i].len > maxlen) maxlen = book[i].len;
+    int pb = maxlen < kPrimBits ? maxlen : kPrimBits;
+    out->prim_bits = pb;
+    out->prim.assign(size_t(1) << pb, 0);
+    out->sec_shift = maxlen > pb ? maxlen - pb : 0;
+
+    // assign secondary base indices per long-code prefix
+    std::vector<int> prefix_base(size_t(1) << pb, -1);
+    int n_esc = 0;
+    for (int i = 0; i < size; i++) {
+      if (book[i].len <= pb) continue;
+      uint32_t pre = book[i].code >> (book[i].len - pb);
+      if (prefix_base[pre] < 0) prefix_base[pre] = n_esc++;
+    }
+    out->sec.assign(size_t(n_esc) << out->sec_shift, 0);
+    // escape base indices must fit the 15 payload bits of a prim entry
+    if ((size_t(n_esc) << out->sec_shift) > 0x7FFF) __builtin_trap();
+
+    for (int i = 0; i < size; i++) {
+      const HuffEntry& e = book[i];
+      uint16_t val =
+          uint16_t((uint32_t(e.len) << 8) | (uint32_t(e.x) << 4) | e.y);
+      if (e.len <= pb) {
+        size_t lo = size_t(e.code) << (pb - e.len);
+        size_t hi = size_t(e.code + 1) << (pb - e.len);
+        for (size_t w = lo; w < hi; w++) out->prim[w] = val;
+      } else {
+        uint32_t pre = e.code >> (e.len - pb);
+        size_t base = size_t(prefix_base[pre]) << out->sec_shift;
+        uint32_t rem = e.code & ((1u << (e.len - pb)) - 1);
+        size_t lo = base + (size_t(rem) << (maxlen - e.len));
+        size_t hi = base + (size_t(rem + 1) << (maxlen - e.len));
+        for (size_t w = lo; w < hi; w++) out->sec[w] = val;
+      }
+    }
+    // mark escape prefixes
+    for (size_t pre = 0; pre < (size_t(1) << pb); pre++)
+      if (prefix_base[pre] >= 0)
+        out->prim[pre] = uint16_t(
+            0x8000u | (uint32_t(prefix_base[pre]) << out->sec_shift));
+  }
+
+  static void build_quad(const HuffEntry* book, int size, QuadLut* out) {
+    int maxlen = 0;
+    for (int i = 0; i < size; i++)
+      if (book[i].len > maxlen) maxlen = book[i].len;
+    int bits = maxlen + 4;
+    out->bits = bits;
+    out->lut.assign(size_t(1) << bits, 0);
+    auto enc2 = [](int v) -> uint16_t { return uint16_t(v & 3); };
+    for (int i = 0; i < size; i++) {
+      const HuffEntry& e = book[i];
+      int vals[4] = {(e.y >> 3) & 1, (e.y >> 2) & 1, (e.y >> 1) & 1, e.y & 1};
+      int nz = vals[0] + vals[1] + vals[2] + vals[3];
+      for (int s = 0; s < (1 << nz); s++) {
+        int sv[4];
+        int bit = nz - 1;  // first sign bit is the MSB of s
+        for (int k = 0; k < 4; k++) {
+          sv[k] = vals[k];
+          if (vals[k]) {
+            if ((s >> bit) & 1) sv[k] = -sv[k];
+            bit--;
+          }
+        }
+        int adv = e.len + nz;
+        uint16_t entry = uint16_t((adv << 8) | (enc2(sv[0]) << 6) |
+                                  (enc2(sv[1]) << 4) | (enc2(sv[2]) << 2) |
+                                  enc2(sv[3]));
+        size_t lo = ((size_t(e.code) << nz) | unsigned(s)) << (bits - adv);
+        size_t hi = lo + (size_t(1) << (bits - adv));
+        for (size_t w = lo; w < hi; w++) out->lut[w] = entry;
+      }
+    }
+  }
+
+  FastLuts() {
+    for (int t = 0; t < 32; t++) {
+      const TableRef& ref = kTables[t];
+      if (!ref.book) continue;
+      int prev = -1;
+      for (int u = 0; u < t; u++)
+        if (kTables[u].book == ref.book) { prev = u; break; }
+      if (prev >= 0) {
+        pair_by_table[t] = pair_by_table[prev];
+        continue;
+      }
+      build_pair(ref.book, ref.size, &pair_by_table[t]);
+    }
+    build_quad(kTables[32].book, kTables[32].size, &quad[0]);
+    build_quad(kTables[33].book, kTables[33].size, &quad[1]);
+  }
+};
+
+static const FastLuts& fast_luts() {
+  static FastLuts luts;
+  return luts;
+}
+
+// ---------------------------------------------------------------------------
 // Bit reader (semantics of bitstream/bits.py: sticky error, non-advancing
 // reads past the end)
 // ---------------------------------------------------------------------------
@@ -341,6 +474,9 @@ struct Parser {
   int64_t pos = 0;
 
   std::vector<uint8_t> reservoir;       // previous assembled main-data buf
+  int64_t reservoir_len = 0;            // logical bytes (buffer carries
+                                        // zero padding past this for the
+                                        // fast windowed Huffman path)
   std::vector<uint8_t> scratch;         // reused assembly buffer
   bool has_prev = false;
   int sample_rate = 0;
@@ -439,16 +575,44 @@ struct Parser {
     return OK;
   }
 
-  // Huffman spectral decode for one granule/channel
-  // (mirrors bitstream/maindata.py _read_huffman)
-  Status read_huffman(BitReader& m, const Header& h, SideInfo* si, int gr,
-                      int ch, int64_t part2_start, int16_t* is_out) {
-    if (si->part2_3_length[gr][ch] == 0) {
-      memset(is_out, 0, kSamplesPerGr * sizeof(int16_t));
-      si->count1[gr][ch] = 0;
-      return OK;
-    }
-    int64_t bit_pos_end = part2_start + si->part2_3_length[gr][ch] - 1;
+  // -------------------------------------------------------------------------
+  // Huffman spectral decode (mirrors bitstream/maindata.py _read_huffman).
+  //
+  // Up to 4 granule-channel regions per frame are decoded as independent
+  // LANES run round-robin in one loop: each region's bit start is known from
+  // the part2_3_length cumsum, so their serial LUT-walk dependency chains
+  // can overlap in the out-of-order core (the decode is latency-bound on
+  // window-load -> LUT-load -> length). Fast steps read one 64-bit window
+  // per symbol (codeword + linbits + signs <= 47 bits; >= 57 valid): the
+  // assembled buffer carries >= 16 zero padding bytes so loads stay in
+  // allocated memory and windows past the logical end see zeros, matching
+  // peek_padded. Lanes that near the buffer tail fall back to the exact
+  // scalar path (huff_decode), which replicates the reference's pin-at-end
+  // + sticky-error semantics.
+  // -------------------------------------------------------------------------
+
+  struct HuffLane {
+    int16_t* out = nullptr;
+    int gr = 0, ch = 0;
+    int64_t bit_pos_end = 0;
+    int64_t pos = 0;
+    bool err = false;
+    int is_pos = 0;
+    int seg = 0;  // 0..2 = big-value regions, 3 = count1
+    int seg_end[3] = {0, 0, 0};
+    const PairLut* lut[3] = {nullptr, nullptr, nullptr};
+    int tno[3] = {0, 0, 0};
+    int lb[3] = {0, 0, 0};
+    const QuadLut* qlut = nullptr;
+    int qtno = 0;
+    bool active = false;
+    bool scalar = false;  // hit the tail guard: finish on the exact path
+  };
+
+  // Region setup; m.pos must be at the lane's first Huffman bit.
+  Status prepare_lane(const BitReader& m, const Header& h, const SideInfo* si,
+                      int gr, int ch, int64_t part2_start, int16_t* is_out,
+                      HuffLane* L) {
     int region1_start, region2_start;
     if (si->win_switch[gr][ch] == 1 && si->block_type[gr][ch] == 2) {
       region1_start = 36;
@@ -463,42 +627,230 @@ struct Parser {
     }
     int big2 = si->big_values[gr][ch] * 2;
     if (big2 > kSamplesPerGr) { error = "is_pos too big"; return HARD_ERROR; }
-    int is_pos = 0;
-    int x, y, v, w;
-    while (is_pos < big2) {
-      int table = si->table_select[gr][ch][is_pos < region1_start     ? 0
-                                           : is_pos < region2_start ? 1
-                                                                    : 2];
-      huff_decode(m, table, &x, &y, &v, &w);
-      is_out[is_pos++] = int16_t(x);
-      is_out[is_pos++] = int16_t(y);
+
+    const FastLuts& fl = fast_luts();
+    L->out = is_out;
+    L->gr = gr;
+    L->ch = ch;
+    L->bit_pos_end = part2_start + si->part2_3_length[gr][ch] - 1;
+    L->pos = m.pos;
+    L->err = m.err;
+    L->is_pos = 0;
+    L->seg = 0;
+    L->seg_end[0] = region1_start < big2 ? region1_start : big2;
+    L->seg_end[1] = region2_start < big2 ? region2_start : big2;
+    if (L->seg_end[0] > L->seg_end[1]) L->seg_end[0] = L->seg_end[1];
+    L->seg_end[2] = big2;
+    for (int r = 0; r < 3; r++) {
+      L->tno[r] = si->table_select[gr][ch][r];
+      const TableRef& ref = kTables[L->tno[r]];
+      L->lut[r] = ref.book ? &fl.pair_by_table[L->tno[r]] : nullptr;
+      L->lb[r] = ref.linbits;
     }
-    int table = si->count1_table[gr][ch] + 32;
-    while (is_pos <= 572 && m.pos <= bit_pos_end) {
-      huff_decode(m, table, &x, &y, &v, &w);
-      is_out[is_pos++] = int16_t(v);
-      if (is_pos >= kSamplesPerGr) break;
-      is_out[is_pos++] = int16_t(w);
-      if (is_pos >= kSamplesPerGr) break;
-      is_out[is_pos++] = int16_t(x);
-      if (is_pos >= kSamplesPerGr) break;
-      is_out[is_pos++] = int16_t(y);
-    }
-    if (m.pos > bit_pos_end + 1) is_pos -= 4;
+    L->qtno = si->count1_table[gr][ch] + 32;
+    L->qlut = &fl.quad[si->count1_table[gr][ch]];
+    L->active = true;
+    L->scalar = false;
+    return OK;
+  }
+
+  // Rollback + rzero fill + count1 bookkeeping (tail of the reference's
+  // readHuffman).
+  void lane_finalize(HuffLane& L, SideInfo* si) {
+    int is_pos = L.is_pos;
+    if (L.pos > L.bit_pos_end + 1) is_pos -= 4;
     if (is_pos < 0) is_pos = 0;
-    si->count1[gr][ch] = is_pos;
+    si->count1[L.gr][L.ch] = is_pos;
     if (is_pos < kSamplesPerGr)
-      memset(is_out + is_pos, 0, (kSamplesPerGr - is_pos) * sizeof(int16_t));
-    m.pos = bit_pos_end + 1;
+      memset(L.out + is_pos, 0,
+             size_t(kSamplesPerGr - is_pos) * sizeof(int16_t));
+    L.active = false;
+  }
+
+  // One fast decode step for a lane (a symbol, or segment bookkeeping).
+  static inline void lane_step(HuffLane& L, const uint8_t* buf,
+                               int64_t total) {
+    if (L.seg < 3) {
+      int end = L.seg_end[L.seg];
+      if (__builtin_expect(L.is_pos >= end || !L.lut[L.seg], 0)) {
+        // advance segments, zero-filling null-book regions (tables 0/4/14:
+        // zero pairs, no bits consumed)
+        while (L.seg < 3) {
+          end = L.seg_end[L.seg];
+          if (L.is_pos < end) {
+            if (L.lut[L.seg]) return;  // next call decodes
+            memset(L.out + L.is_pos, 0,
+                   size_t(end - L.is_pos) * sizeof(int16_t));
+            L.is_pos = end;
+          }
+          L.seg++;
+        }
+        return;  // count1 starts next call
+      }
+      if (__builtin_expect(L.pos + 47 > total, 0)) {
+        L.scalar = true;
+        L.active = false;
+        return;
+      }
+      const PairLut& tl = *L.lut[L.seg];
+      const int lb = L.lb[L.seg];
+      int64_t pos = L.pos;
+      uint64_t w64 = BitReader::be64(buf + (pos >> 3)) << (pos & 7);
+      uint16_t e = tl.prim[w64 >> (64 - tl.prim_bits)];
+      if (e & 0x8000u)
+        e = tl.sec[(e & 0x7FFFu) +
+                   uint32_t((w64 << tl.prim_bits) >> (64 - tl.sec_shift))];
+      int len = (e >> 8) & 0x1F;
+      pos += len;
+      int x = (e >> 4) & 0xF;
+      int y = e & 0xF;
+      uint64_t rest = w64 << len;
+      if (lb) {
+        if (__builtin_expect(x == 15, 0)) {
+          x += int(rest >> (64 - lb));
+          rest <<= lb;
+          pos += lb;
+        }
+        int nx = x != 0;
+        int sx = -(int(rest >> 63) & nx);
+        x = (x ^ sx) - sx;
+        rest <<= nx;
+        pos += nx;
+        if (__builtin_expect(y == 15, 0)) {
+          y += int(rest >> (64 - lb));
+          rest <<= lb;
+          pos += lb;
+        }
+        int ny = y != 0;
+        int sy = -(int(rest >> 63) & ny);
+        y = (y ^ sy) - sy;
+        pos += ny;
+      } else {
+        // branchless signs: sign bits are random, so data-dependent
+        // negation must not be a branch (one mispredict per symbol)
+        int nx = x != 0;
+        int sx = -(int(rest >> 63) & nx);
+        x = (x ^ sx) - sx;
+        rest <<= nx;
+        pos += nx;
+        int ny = y != 0;
+        int sy = -(int(rest >> 63) & ny);
+        y = (y ^ sy) - sy;
+        pos += ny;
+      }
+      L.pos = pos;
+      L.out[L.is_pos] = int16_t(x);
+      L.out[L.is_pos + 1] = int16_t(y);
+      L.is_pos += 2;
+      return;
+    }
+    // count1 quadruples
+    if (L.is_pos > 572 || L.pos > L.bit_pos_end) {
+      L.active = false;  // natural end: caller runs lane_finalize
+      return;
+    }
+    if (__builtin_expect(L.pos + L.qlut->bits > total, 0)) {
+      L.scalar = true;
+      L.active = false;
+      return;
+    }
+    static const int8_t dec2[4] = {0, 1, 0, -1};
+    uint64_t w64 = BitReader::be64(buf + (L.pos >> 3)) << (L.pos & 7);
+    uint16_t e = L.qlut->lut.data()[w64 >> (64 - L.qlut->bits)];
+    L.pos += e >> 8;
+    // guard (is_pos <= 572) makes all four writes in-bounds, so the
+    // reference's per-write break checks can never fire — write all 4
+    L.out[L.is_pos] = dec2[(e >> 6) & 3];
+    L.out[L.is_pos + 1] = dec2[(e >> 4) & 3];
+    L.out[L.is_pos + 2] = dec2[(e >> 2) & 3];
+    L.out[L.is_pos + 3] = dec2[e & 3];
+    L.is_pos += 4;
+  }
+
+  // Exact scalar continuation from a lane's saved state (bit-for-bit the
+  // reference semantics via huff_decode), then finalize.
+  void lane_scalar_finish(HuffLane& L, BitReader& m, SideInfo* si) {
+    m.pos = L.pos;
+    m.err = L.err;
+    int is_pos = L.is_pos;
+    int x, y, v, w;
+    for (int r = L.seg; r < 3; r++) {
+      int end = L.seg_end[r];
+      if (is_pos >= end) continue;
+      if (!L.lut[r]) {
+        memset(L.out + is_pos, 0, size_t(end - is_pos) * sizeof(int16_t));
+        is_pos = end;
+        continue;
+      }
+      while (is_pos < end) {
+        huff_decode(m, L.tno[r], &x, &y, &v, &w);
+        L.out[is_pos++] = int16_t(x);
+        L.out[is_pos++] = int16_t(y);
+      }
+    }
+    while (is_pos <= 572 && m.pos <= L.bit_pos_end) {
+      huff_decode(m, L.qtno, &x, &y, &v, &w);
+      L.out[is_pos] = int16_t(v);
+      L.out[is_pos + 1] = int16_t(w);
+      L.out[is_pos + 2] = int16_t(x);
+      L.out[is_pos + 3] = int16_t(y);
+      is_pos += 4;
+    }
+    L.pos = m.pos;
+    L.is_pos = is_pos;
+    lane_finalize(L, si);
+  }
+
+  // Run all lanes round-robin, then finish stragglers exactly.
+  void run_lanes(HuffLane* lanes, int nl, BitReader& m, SideInfo* si) {
+    const uint8_t* buf = m.vec;
+    const int64_t total = m.total_bits();
+    for (;;) {
+      bool any = false;
+      for (int i = 0; i < nl; i++)
+        if (lanes[i].active) {
+          lane_step(lanes[i], buf, total);
+          any = true;
+        }
+      if (!any) break;
+    }
+    for (int i = 0; i < nl; i++) {
+      if (lanes[i].scalar)
+        lane_scalar_finish(lanes[i], m, si);
+      else
+        lane_finalize(lanes[i], si);
+    }
+  }
+
+  // Lane setup shared by both scalefactor readers: either the zero-length
+  // fast-out (reference quirk: scalefactor bits stay consumed, m.pos is NOT
+  // jumped) or a prepared lane + jump to the next region start.
+  Status setup_lane_or_skip(BitReader& m, const Header& h, SideInfo* si,
+                            int gr, int ch, int64_t part2_start,
+                            int16_t* is_out, HuffLane* lanes, int* nl) {
+    if (si->part2_3_length[gr][ch] == 0) {
+      memset(is_out, 0, kSamplesPerGr * sizeof(int16_t));
+      si->count1[gr][ch] = 0;
+      return OK;
+    }
+    Status st = prepare_lane(m, h, si, gr, ch, part2_start, is_out,
+                             &lanes[(*nl)]);
+    if (st != OK) return st;
+    (*nl)++;
+    m.pos = part2_start + si->part2_3_length[gr][ch];
     m.err = false;
     return OK;
   }
 
   // Scalefactor + spectral decode (MPEG-1), writing straight into the
-  // output arrays for granule records g0/g0+1.
+  // output arrays for granule records g0/g0+1. All scalefactors are read
+  // first (their positions only depend on the part2_3_length cumsum), then
+  // all granule-channel Huffman regions decode as interleaved lanes.
   Status scalefactors_mpeg1(BitReader& m, const Header& h, SideInfo* si,
                             int32_t* sfl, int32_t* sfs, int16_t* spectra) {
     int nch = h.nch();
+    HuffLane lanes[4];
+    int nl = 0;
     // sfl layout per granule record: [2][22]; sfs: [2][13*3]
     for (int gr = 0; gr < 2; gr++) {
       int32_t* sfl_g = sfl + gr * 2 * 22;
@@ -538,17 +890,24 @@ struct Parser {
             }
           }
         }
-        Status st = read_huffman(m, h, si, gr, ch, part2_start,
-                                 spectra + (gr * 2 + ch) * kSamplesPerGr);
+        Status st = setup_lane_or_skip(
+            m, h, si, gr, ch, part2_start,
+            spectra + (gr * 2 + ch) * kSamplesPerGr, lanes, &nl);
         if (st != OK) return st;
       }
     }
+    int64_t end_pos = m.pos;
+    run_lanes(lanes, nl, m, si);
+    m.pos = end_pos;
+    m.err = false;
     return OK;
   }
 
   Status scalefactors_mpeg2(BitReader& m, const Header& h, SideInfo* si,
                             int32_t* sfl, int32_t* sfs, int16_t* spectra) {
     int nch = h.nch();
+    HuffLane lanes[2];
+    int nl = 0;
     for (int ch = 0; ch < nch; ch++) {
       int64_t part2_start = m.pos;
       int slen = kNSlen2.v[si->scalefac_compress[0][ch]];
@@ -578,10 +937,14 @@ struct Parser {
       } else {
         for (int i = 0; i < 39; i++) sfs[ch * 39 + i] = sf[i];
       }
-      Status st = read_huffman(m, h, si, 0, ch, part2_start,
-                               spectra + ch * kSamplesPerGr);
+      Status st = setup_lane_or_skip(m, h, si, 0, ch, part2_start,
+                                     spectra + ch * kSamplesPerGr, lanes, &nl);
       if (st != OK) return st;
     }
+    int64_t end_pos = m.pos;
+    run_lanes(lanes, nl, m, si);
+    m.pos = end_pos;
+    m.err = false;
     return OK;
   }
 
@@ -615,22 +978,31 @@ struct Parser {
     std::vector<uint8_t>& assembled = scratch;
     assembled.clear();
     int offset = si.main_data_begin;
-    if (has_prev && offset > int(reservoir.size())) {
+    if (has_prev && offset > int(reservoir_len)) {
       // underfilled reservoir: decode anyway from full prev + new bytes
-      assembled.insert(assembled.end(), reservoir.begin(), reservoir.end());
+      assembled.insert(assembled.end(), reservoir.begin(),
+                       reservoir.begin() + reservoir_len);
     } else {
       if (has_prev && offset > 0)
-        assembled.insert(assembled.end(), reservoir.end() - offset,
-                         reservoir.end());
+        assembled.insert(assembled.end(),
+                         reservoir.begin() + (reservoir_len - offset),
+                         reservoir.begin() + reservoir_len);
     }
     assembled.insert(assembled.end(), data + pos, data + pos + main_size);
     pos += main_size;
+    int64_t logical_size = int64_t(assembled.size());
+    // zero padding so the windowed Huffman fast path never loads out of
+    // allocated memory and windows past the end read zeros (= peek_padded)
+    assembled.resize(assembled.size() + 16, 0);
 
-    BitReader m{assembled.data(), int64_t(assembled.size())};
+    BitReader m{assembled.data(), logical_size};
 
     int ngr = h.granules();
-    // zero granule records (mono ch1, unset scalefacs)
-    memset(spectra, 0, ngr * 2 * kSamplesPerGr * sizeof(int16_t));
+    // zero the records read_huffman won't cover (mono ch1) + scalefactors
+    if (h.nch() == 1)
+      for (int gr = 0; gr < ngr; gr++)
+        memset(spectra + (gr * 2 + 1) * kSamplesPerGr, 0,
+               kSamplesPerGr * sizeof(int16_t));
     memset(sfl, 0, ngr * 2 * 22 * sizeof(int32_t));
     memset(sfs, 0, ngr * 2 * 39 * sizeof(int32_t));
 
@@ -656,6 +1028,7 @@ struct Parser {
 
     // keep the full assembled buffer as the next frame's reservoir source
     reservoir.swap(assembled);  // scratch now holds the old reservoir
+    reservoir_len = logical_size;
     has_prev = true;
     if (sample_rate == 0) sample_rate = h.sample_rate();
 
@@ -719,16 +1092,17 @@ int64_t gmp_pos(void* pv) { return static_cast<Parser*>(pv)->pos; }
 int gmp_get_reservoir(void* pv, uint8_t* out, int cap) {
   Parser* p = static_cast<Parser*>(pv);
   if (!p->has_prev) return 0;
-  int n = int(p->reservoir.size());
+  int n = int(p->reservoir_len);
   if (n > cap) n = cap;
   // keep the TAIL (only the last <=511 bytes are ever referenced)
-  memcpy(out, p->reservoir.data() + (p->reservoir.size() - n), n);
+  memcpy(out, p->reservoir.data() + (p->reservoir_len - n), n);
   return n;
 }
 
 void gmp_set_reservoir(void* pv, const uint8_t* data, int len) {
   Parser* p = static_cast<Parser*>(pv);
   p->reservoir.assign(data, data + len);
+  p->reservoir_len = len;
   p->has_prev = len > 0;
 }
 
@@ -749,6 +1123,56 @@ int gmp_parse(void* pv, int cap, int16_t* spectra, int32_t* sfl, int32_t* sfs,
         meta + g * 24, &produced, &fpos);
     if (st == gomp3::END_OF_AUDIO) break;
     if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
+    g += produced;
+  }
+  return g;
+}
+
+// Parse up to `cap` granules into the packed device-interface layout:
+//   spectra [cap][1152] i16  (post-reorder, [2][576] flattened)
+//   side    [cap][144] i16   (all per-granule metadata + scalefactors):
+//     [0] variant  [1] flags(ms|is<<1|mono<<2)  [2] count1_r  [3] gr_index
+//     [4+ch] global_gain  [6+ch] sf_scale  [8+ch] preflag  [10+ch] block_type
+//     [12+ch] block_class  [14+3ch+w] subblock_gain  [20+ch] count1
+//     [22+22ch+sfb] scalefac_l  [66+39ch+i] scalefac_s
+// Two flat, tile-friendly arrays = one cheap H2D transfer each; the device
+// unpacks (go_mp3_tpu/ops/granule.py batch_from_packed).
+// Returns granules produced (0 = end of audio), or -1 on hard error.
+int gmp_parse_packed(void* pv, int cap, int16_t* spectra, int16_t* side) {
+  Parser* p = static_cast<Parser*>(pv);
+  int g = 0;
+  int32_t sfl[2 * 2 * 22];
+  int32_t sfs[2 * 2 * 39];
+  int32_t meta[2 * 24];
+  while (cap - g >= 2) {
+    int produced = 0;
+    int64_t fpos = 0;
+    gomp3::Status st = p->parse_frame(spectra + g * 1152, sfl, sfs, meta,
+                                      &produced, &fpos);
+    if (st == gomp3::END_OF_AUDIO) break;
+    if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
+    for (int gr = 0; gr < produced; gr++) {
+      const int32_t* mg = meta + gr * 24;
+      int16_t* sd = side + (g + gr) * 144;
+      sd[0] = int16_t(mg[0]);
+      sd[1] = int16_t(mg[1]);
+      sd[2] = int16_t(mg[2]);
+      sd[3] = int16_t(mg[22]);
+      for (int ch = 0; ch < 2; ch++) {
+        sd[4 + ch] = int16_t(mg[4 + ch]);
+        sd[6 + ch] = int16_t(mg[6 + ch]);
+        sd[8 + ch] = int16_t(mg[8 + ch]);
+        sd[10 + ch] = int16_t(mg[10 + ch]);
+        sd[12 + ch] = int16_t(mg[12 + ch]);
+        for (int w = 0; w < 3; w++)
+          sd[14 + ch * 3 + w] = int16_t(mg[14 + ch * 3 + w]);
+        sd[20 + ch] = int16_t(mg[20 + ch]);
+      }
+      const int32_t* sfl_g = sfl + gr * 2 * 22;
+      const int32_t* sfs_g = sfs + gr * 2 * 39;
+      for (int i = 0; i < 44; i++) sd[22 + i] = int16_t(sfl_g[i]);
+      for (int i = 0; i < 78; i++) sd[66 + i] = int16_t(sfs_g[i]);
+    }
     g += produced;
   }
   return g;
