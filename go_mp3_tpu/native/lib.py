@@ -19,6 +19,15 @@ _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "libmp3parse.so"
 
 META_WIDTH = 24
+# packed sidecar layout (must match mp3parse.cpp gmp_parse_packed emit):
+# one int16[SIDE_WIDTH] word vector per granule carrying all metadata +
+# scalefactors; words 0..21 mirror the META_* slots, then scalefactors.
+SIDE_WIDTH = 144
+SIDE_SFL = 22  # [2][22] long scalefactors at words 22..65
+SIDE_SFS = 66  # [2][39] short scalefactors at words 66..143
+# int8-quantized layout (gmp_parse_packed8): minimum-byte H2D interface
+SIDE8_WIDTH = 168  # bytes: [0:44] meta LE i16 words, [44:88] sfl, [88:166] sfs
+ESC_SLOTS = 32  # escape (line idx, delta) pairs per granule
 # meta layout (must match mp3parse.cpp parse_frame emit)
 META_VARIANT = 0
 META_FLAGS = 1  # bit0 ms, bit1 intensity, bit2 mono
@@ -74,6 +83,23 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.gmp_parse_packed.restype = ctypes.c_int
+    lib.gmp_parse_packed.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_int16),
+    ]
+    lib.gmp_parse_packed8.restype = ctypes.c_int
+    lib.gmp_parse_packed8.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.gmp_packed8_overflow.restype = ctypes.c_int
+    lib.gmp_packed8_overflow.argtypes = [ctypes.c_void_p]
     lib.gmp_dsp_create.restype = ctypes.c_void_p
     lib.gmp_dsp_destroy.argtypes = [ctypes.c_void_p]
     lib.gmp_dsp_reset.argtypes = [ctypes.c_void_p]
@@ -207,6 +233,50 @@ class NativeParser:
         if n < 0:
             err = self._lib.gmp_error(self._p).decode()
             raise ValueError(f"mp3: native parse failed: {err}")
+        return n
+
+    def parse_packed_into(self, spectra: np.ndarray, side: np.ndarray) -> int:
+        """Parse granules directly into the packed device-interface layout:
+        spectra [cap, 1152] int16 (post-reorder) and side [cap, SIDE_WIDTH]
+        int16 (all metadata + scalefactors). Two flat, C-contiguous arrays =
+        the cheapest possible H2D transfer. Returns granules produced."""
+        cap = spectra.shape[0]
+        assert spectra.shape == (cap, 1152) and spectra.dtype == np.int16
+        assert side.shape == (cap, SIDE_WIDTH) and side.dtype == np.int16
+        assert spectra.flags.c_contiguous and side.flags.c_contiguous
+        n = self._lib.gmp_parse_packed(self._p, cap, _i16p(spectra), _i16p(side))
+        if n < 0:
+            err = self._lib.gmp_error(self._p).decode()
+            raise ValueError(f"mp3: native parse failed: {err}")
+        return n
+
+    def parse_packed8_into(
+        self, spectra8: np.ndarray, esc: np.ndarray, side8: np.ndarray
+    ) -> int:
+        """Parse granules into the int8-quantized layout (~56% the bytes of
+        the int16 interface): spectra8 [cap,1152] i8, esc [cap,ESC_SLOTS,2]
+        i16, side8 [cap,SIDE8_WIDTH] u8. Raises if any granule overflowed
+        the escape slots (callers should then use parse_packed_into)."""
+        cap = spectra8.shape[0]
+        assert spectra8.shape == (cap, 1152) and spectra8.dtype == np.int8
+        assert esc.shape == (cap, ESC_SLOTS, 2) and esc.dtype == np.int16
+        assert side8.shape == (cap, SIDE8_WIDTH) and side8.dtype == np.uint8
+        for a in (spectra8, esc, side8):
+            assert a.flags.c_contiguous
+        n = self._lib.gmp_parse_packed8(
+            self._p,
+            cap,
+            spectra8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            _i16p(esc),
+            side8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        )
+        if n < 0:
+            err = self._lib.gmp_error(self._p).decode()
+            raise ValueError(f"mp3: native parse failed: {err}")
+        if self._lib.gmp_packed8_overflow(self._p):
+            raise OverflowError(
+                "mp3: granule exceeded int8 escape slots; use parse_packed_into"
+            )
         return n
 
     def parse(self, cap: int):

@@ -473,6 +473,7 @@ struct Parser {
   int64_t len;
   int64_t pos = 0;
 
+  bool packed8_overflow = false;        // a granule exceeded kEscSlots
   std::vector<uint8_t> reservoir;       // previous assembled main-data buf
   int64_t reservoir_len = 0;            // logical bytes (buffer carries
                                         // zero padding past this for the
@@ -1176,6 +1177,88 @@ int gmp_parse_packed(void* pv, int cap, int16_t* spectra, int16_t* side) {
     g += produced;
   }
   return g;
+}
+
+// Parse up to `cap` granules into the int8-quantized device layout — the
+// minimum-byte H2D interface (Huffman magnitudes are < 128 for all but a
+// handful of lines per granule):
+//   spectra8 [cap][1152] i8   clip(value, -128, 127)
+//   esc      [cap][32][2] i16 (line index, value - clipped) escape deltas,
+//                             zero-padded (idx 0, delta 0 slots are no-ops)
+//   side8    [cap][168] u8    bytes 0..43 = the 22 meta words (LE int16,
+//                             all non-negative), 44..87 = scalefac_l i8,
+//                             88..165 = scalefac_s i8, 166..167 pad
+// If a granule needs more than 32 escape slots (never observed on real
+// streams; pathological inputs only) a sticky overflow flag is set —
+// callers must then fall back to gmp_parse_packed. Returns granules
+// produced (0 = end of audio), or -1 on hard error.
+constexpr int kEscSlots = 32;
+
+int gmp_parse_packed8(void* pv, int cap, int8_t* spectra8, int16_t* esc,
+                      uint8_t* side8) {
+  Parser* p = static_cast<Parser*>(pv);
+  int g = 0;
+  int16_t sp[2 * 1152];
+  int32_t sfl[2 * 2 * 22];
+  int32_t sfs[2 * 2 * 39];
+  int32_t meta[2 * 24];
+  while (cap - g >= 2) {
+    int produced = 0;
+    int64_t fpos = 0;
+    gomp3::Status st = p->parse_frame(sp, sfl, sfs, meta, &produced, &fpos);
+    if (st == gomp3::END_OF_AUDIO) break;
+    if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
+    for (int gr = 0; gr < produced; gr++) {
+      const int16_t* src = sp + gr * 1152;
+      int8_t* d8 = spectra8 + (g + gr) * 1152;
+      int16_t* de = esc + (g + gr) * (kEscSlots * 2);
+      memset(de, 0, kEscSlots * 2 * sizeof(int16_t));
+      int ne = 0;
+      for (int i = 0; i < 1152; i++) {
+        int v = src[i];
+        int c = v > 127 ? 127 : (v < -128 ? -128 : v);
+        d8[i] = int8_t(c);
+        if (__builtin_expect(v != c, 0)) {
+          if (ne < kEscSlots) {
+            de[2 * ne] = int16_t(i);
+            de[2 * ne + 1] = int16_t(v - c);
+            ne++;
+          } else {
+            p->packed8_overflow = true;
+          }
+        }
+      }
+      const int32_t* mg = meta + gr * 24;
+      uint8_t* sd = side8 + (g + gr) * 168;
+      int16_t w[22];
+      w[0] = int16_t(mg[0]);
+      w[1] = int16_t(mg[1]);
+      w[2] = int16_t(mg[2]);
+      w[3] = int16_t(mg[22]);
+      for (int ch = 0; ch < 2; ch++) {
+        w[4 + ch] = int16_t(mg[4 + ch]);
+        w[6 + ch] = int16_t(mg[6 + ch]);
+        w[8 + ch] = int16_t(mg[8 + ch]);
+        w[10 + ch] = int16_t(mg[10 + ch]);
+        w[12 + ch] = int16_t(mg[12 + ch]);
+        for (int k = 0; k < 3; k++)
+          w[14 + ch * 3 + k] = int16_t(mg[14 + ch * 3 + k]);
+        w[20 + ch] = int16_t(mg[20 + ch]);
+      }
+      memcpy(sd, w, 44);
+      const int32_t* sfl_g = sfl + gr * 2 * 22;
+      const int32_t* sfs_g = sfs + gr * 2 * 39;
+      for (int i = 0; i < 44; i++) sd[44 + i] = uint8_t(sfl_g[i]);
+      for (int i = 0; i < 78; i++) sd[88 + i] = uint8_t(sfs_g[i]);
+      sd[166] = sd[167] = 0;
+    }
+    g += produced;
+  }
+  return g;
+}
+
+int gmp_packed8_overflow(void* pv) {
+  return static_cast<Parser*>(pv)->packed8_overflow ? 1 : 0;
 }
 
 // Whole-file header-only index scan (mirrors decoder.py

@@ -361,8 +361,90 @@ def decode_chunk_impl(
     return pcm, DecodeState(store=store_out, v_fifo=v_fifo_out)
 
 
+# ---------------------------------------------------------------------------
+# Packed device interface: the host ships TWO flat int16 arrays per chunk
+# (spectra [T, 1152] + sidecar [T, SIDE_WIDTH]) — the cheapest H2D layout —
+# and the GranuleBatch fields are unpacked on device inside the jitted
+# computation (static slices; free after XLA fusion). Layout must match
+# native/mp3parse.cpp gmp_parse_packed (see native/lib.py SIDE_*).
+# ---------------------------------------------------------------------------
+
+SIDE_WIDTH = 144
+
+
+def _batch_from_side_words(spectra2: jax.Array, s: jax.Array) -> GranuleBatch:
+    """spectra2 int16 [T, 1152] + side WORDS int32 [T, 144] -> GranuleBatch."""
+    t_dim = spectra2.shape[0]
+    return GranuleBatch(
+        spectra=spectra2.reshape(t_dim, 2, SAMPLES_PER_GR),
+        scalefac_l=s[:, 22:66].reshape(t_dim, 2, 22),
+        scalefac_s=s[:, 66:144].reshape(t_dim, 2, 13, 3),
+        global_gain=s[:, 4:6],
+        scalefac_scale=s[:, 6:8],
+        preflag=s[:, 8:10],
+        subblock_gain=s[:, 14:20].reshape(t_dim, 2, 3),
+        block_type=s[:, 10:12],
+        block_class=s[:, 12:14],
+        variant=s[:, 0],
+        ms_flag=(s[:, 1] & 1).astype(bool),
+        is_flag=((s[:, 1] >> 1) & 1).astype(bool),
+        count1_r=s[:, 2],
+        mono=((s[:, 1] >> 2) & 1).astype(bool),
+    )
+
+
+def batch_from_packed(spectra2: jax.Array, side: jax.Array) -> GranuleBatch:
+    """spectra2 int16 [T, 1152], side int16 [T, SIDE_WIDTH] -> GranuleBatch."""
+    return _batch_from_side_words(spectra2, side.astype(jnp.int32))
+
+
+def batch_from_packed8(
+    spectra8: jax.Array, esc: jax.Array, side8: jax.Array
+) -> GranuleBatch:
+    """int8-quantized interface -> GranuleBatch (native/lib.py SIDE8 layout).
+
+    spectra8 i8 [T, 1152] clipped magnitudes; esc i16 [T, K, 2] (line idx,
+    delta) pairs restoring the few |x| > 127 lines (zero slots are no-ops:
+    scatter-add of 0 at line 0); side8 u8 [T, 168] = 22 LE int16 meta words
+    (all non-negative) + int8 scalefactors."""
+    base = spectra8.astype(jnp.int16)
+    idx = esc[:, :, 0].astype(jnp.int32)
+    delta = esc[:, :, 1]
+    spec = jax.vmap(lambda b, i, d: b.at[i].add(d, mode="drop"))(
+        base, idx, delta
+    )
+    u = side8.astype(jnp.int32)
+    meta_words = u[:, 0:44:2] | (u[:, 1:44:2] << 8)  # [T, 22]
+    s = jnp.concatenate([meta_words, u[:, 44:166]], axis=1)  # [T, 144]
+    return _batch_from_side_words(spec, s)
+
+
+def decode_chunk_packed8_impl(
+    spectra8: jax.Array,
+    esc: jax.Array,
+    side8: jax.Array,
+    state: DecodeState,
+    valid: jax.Array,
+) -> tuple[jax.Array, DecodeState]:
+    """decode_chunk_impl over the int8-quantized host interface."""
+    return decode_chunk_impl(batch_from_packed8(spectra8, esc, side8), state, valid)
+
+
+def decode_chunk_packed_impl(
+    spectra2: jax.Array, side: jax.Array, state: DecodeState, valid: jax.Array
+) -> tuple[jax.Array, DecodeState]:
+    """decode_chunk_impl over the packed two-array host interface."""
+    return decode_chunk_impl(batch_from_packed(spectra2, side), state, valid)
+
+
 # Single-stream chunk decode: [T, ...] -> [T*576, 2]
 decode_chunk = jax.jit(decode_chunk_impl)
+
+# Packed-interface batch decode: ([S,T,1152], [S,T,144], states, valid[S])
+decode_chunk_packed_batch = jax.jit(jax.vmap(decode_chunk_packed_impl))
+
+# int8-quantized batch decode: ([S,T,1152] i8, [S,T,K,2] i16, [S,T,168] u8)
+decode_chunk_packed8_batch = jax.jit(jax.vmap(decode_chunk_packed8_impl))
 
 # Multi-stream batch decode (vmap over a leading stream axis):
 # [S, T, ...] -> [S, T*576, 2]; see go_mp3_tpu.parallel for the sharded form.

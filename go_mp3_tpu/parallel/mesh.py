@@ -13,7 +13,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.granule import DecodeState, GranuleBatch, decode_chunk_impl
+from ..ops.granule import (
+    DecodeState,
+    GranuleBatch,
+    decode_chunk_impl,
+    decode_chunk_packed_impl,
+)
 
 STREAM_AXIS = "streams"
 
@@ -44,6 +49,28 @@ def make_sharded_decoder(mesh: Mesh):
     s_lead = NamedSharding(mesh, P(STREAM_AXIS))
     in_shardings = (
         jax.tree_util.tree_map(lambda _: s_lead, GranuleBatch(*(range(14)))),
+        DecodeState(store=s_lead, v_fifo=s_lead),
+        s_lead,
+    )
+    out_shardings = (
+        s_lead,
+        DecodeState(store=s_lead, v_fifo=s_lead),
+    )
+    return jax.jit(
+        batched, in_shardings=in_shardings, out_shardings=out_shardings
+    )
+
+
+def make_sharded_packed_decoder(mesh: Mesh):
+    """Like make_sharded_decoder, but over the packed two-array host
+    interface (spectra [S,T,1152] i16 + sidecar [S,T,144] i16): the cheapest
+    H2D layout, unpacked on device. S is sharded over the mesh; zero
+    cross-chip communication (streams are independent)."""
+    batched = jax.vmap(decode_chunk_packed_impl)
+    s_lead = NamedSharding(mesh, P(STREAM_AXIS))
+    in_shardings = (
+        s_lead,
+        s_lead,
         DecodeState(store=s_lead, v_fifo=s_lead),
         s_lead,
     )

@@ -45,6 +45,84 @@ def test_crafted_inputs_no_crash(idx):
     try_decode(CRAFTED[idx])
 
 
+# The reference's historical crash corpus: 10 hand-minimized inputs from
+# issues #3/#22/#23/#24, transcribed byte-for-byte from fuzzing_test.go:22-103
+# ('0' = 0x30, Go  = \x7f). The only requirement is "no panic".
+HISTORICAL = [
+    # #3
+    (b"\xff\xfa500000000000\xff\xff0000"
+     + b"0" * 120 + b"0000"),
+    (b"\xff\xfb\x100004000094\xff000000"
+     + b"0" * 20
+     + b"00\x7f0\xff\xee\x7f\xff\xee\x7f\xff\xff\x7f\xff\xff\xee\x7f\xff\xff0"
+     + b"\xff\xff00\xff\xee\x7f\xff0000\x7f00\xff00\xee0"
+     + b"000\xff000\xff\xff\xee\x7f0\xff0000\x7f\xff0"
+     + b"00\xff0"),
+    (b"\xff\xfb\x100004000094\xff000000"
+     + b"0" * 20
+     + b"00\x7f0\xff\xee\x7f\xff\xee\x7f\xff\xff\x7f\xff\xff\xee\x7f\xff\xff\x7f"
+     + b"\xff\xff\x7f0\xff\xee\x7f\xff0000\x7f00\xff\xff\xee\xee0"
+     + b"0\xee\x7f\xff000\xff\xff\xee\x7f0\xff0000\x7f\xff0"
+     + b"0\xff\xff0"),
+    (b"\xff\xfa\x1000000000000000000"
+     + b"0" * 20
+     + b"000000000000000000\xff\xff"
+     + b"0\x7f\xff\xff\x7f\xff\xff\x7f\xff\xff\xfc0\xff\xef\xbf0\xef\xbf00"
+     + b"0\xff\xee\x7f\xff\xff\x7f\xff\xff\xee\x7f\xff\xff\x7f\xff\xff\x7f\xff00"
+     + b"\xff\xff00"),
+    (b"\xff\xfa00000031000000000n"
+     + b"s0f00000000000000000"
+     + b"0" * 100
+     + b"00000000\x7f\xff\xff000\xff\xee"),
+    (b"\xff\xfa\x1000000000000000000"
+     + b"0" * 40
+     + b"00000000000000\xbf0\xef\xbf00"
+     + b"0\xff\xee0\xff\xff\x7f\xff\xff\xee\x7f\xff\xff\x7f\xff\xff\x7f\xff00"
+     + b"\xff0\xee0"),
+    (b"\xff\xfa\x100000050000000000\x7f"
+     + b"0" * 20
+     + b"0000000000\xee\x7f0\xff\xff\xff\xff\x7f\xff\xff"
+     + b"\xee\x7f\xff\xff\x7f\xff\xff\x7f\xff\xff\xfc\xee\xff\xef\xbf0\xef\xbf00"
+     + b"0\xff\xee\x7f\xff\xff\x7f\xff\xff\xee\x7f\xff\xff\x7f\xff\xff\x7f\xff0\t"
+     + b"\xff\xff\xee\xee"),
+    # #22
+    (b"\xff\xfa%00000000000000000"
+     + b"000000000000s0000000"
+     + b"0" * 80),
+    # #23
+    (b"\xff\xfb%S000000v000\x00\x010000"
+     + b"0" * 20
+     + b"0000\xf4000000000000000"
+     + b"0" * 60),
+    # #24
+    (b"\xff\xfb0x000000\xf9000\x00\x030000"
+     + b"000000000000\xf70000000"
+     + b"\x900000000000000000000"
+     + b"0" * 260 + b"0000000000000"),
+]
+
+
+@pytest.mark.parametrize("idx", range(len(HISTORICAL)))
+def test_historical_crash_inputs_no_crash(idx):
+    """fuzzing_test.go corpus against the Python decoder path."""
+    try_decode(HISTORICAL[idx])
+
+
+@pytest.mark.parametrize("idx", range(len(HISTORICAL)))
+def test_historical_crash_inputs_native_no_crash(idx):
+    """fuzzing_test.go corpus against the native C++ parser."""
+    from go_mp3_tpu.native import lib as native
+
+    if not native.available():
+        pytest.skip("native lib not built")
+    try:
+        p = native.NativeParser(HISTORICAL[idx])
+        p.parse_all()
+        p.close()
+    except (ValueError, RuntimeError):
+        pass
+
+
 def test_random_mutations_no_crash(fixture_classic_lame):
     """Bit-flip mutations of a real stream (deterministic seed)."""
     rng = random.Random(0xC0FFEE)

@@ -96,3 +96,155 @@ def test_native_parse_from_offset(fixture_classic_lame):
     warm = 2 * gr_per_frame
     lin = fsp[10 * gr_per_frame : 10 * gr_per_frame + 8]
     assert np.array_equal(sp[warm:8], lin[warm:8])
+
+
+def test_packed_interface_matches_legacy(fixture_classic_lame, fixture_mpeg2):
+    """gmp_parse_packed (spectra [n,1152] + sidecar [n,144] i16) carries
+    exactly the legacy four-array records, and batch_from_packed
+    reconstructs an identical GranuleBatch on device."""
+    import jax.numpy as jnp
+
+    from go_mp3_tpu.models.native_pipeline import granule_batch_from_native
+    from go_mp3_tpu.native.lib import SIDE_WIDTH, NativeParser
+    from go_mp3_tpu.ops.granule import batch_from_packed
+
+    for data in (fixture_classic_lame, fixture_mpeg2):
+        p = NativeParser(data)
+        sp, sl, ss, me = p.parse_all()
+        p.close()
+        n = sp.shape[0]
+
+        q = NativeParser(data)
+        spp = np.zeros((n + 2, 1152), np.int16)
+        side = np.zeros((n + 2, SIDE_WIDTH), np.int16)
+        got = 0
+        while True:
+            k = q.parse_packed_into(spp[got:], side[got:])
+            if k == 0:
+                break
+            got += k
+        q.close()
+        assert got == n
+
+        legacy, _ = granule_batch_from_native(sp, sl, ss, me)
+        packed = batch_from_packed(jnp.asarray(spp[:n]), jnp.asarray(side[:n]))
+        for f in legacy._fields:
+            a = np.asarray(getattr(legacy, f))
+            b = np.asarray(getattr(packed, f))
+            assert a.dtype == b.dtype or f == "spectra", f
+            assert np.array_equal(a, b), f
+
+
+def test_decode_chunk_packed_matches_batch(fixture_classic_lame):
+    """decode_chunk_packed_batch == decode_chunk_batch on a real chunk."""
+    from go_mp3_tpu.models.native_pipeline import granule_batch_from_native
+    from go_mp3_tpu.native.lib import SIDE_WIDTH, NativeParser
+    from go_mp3_tpu.ops.granule import (
+        decode_chunk_batch,
+        decode_chunk_packed_batch,
+    )
+    from go_mp3_tpu.parallel.mesh import init_states
+
+    t = 24
+    p = NativeParser(fixture_classic_lame)
+    spp = np.zeros((t, 1152), np.int16)
+    side = np.zeros((t, SIDE_WIDTH), np.int16)
+    got = 0
+    while got < t:
+        k = p.parse_packed_into(spp[got:], side[got:])
+        assert k > 0
+        got += k
+    p.close()
+
+    q = NativeParser(fixture_classic_lame)
+    sp, sl, ss, me = q.parse_all()
+    q.close()
+    legacy, _ = granule_batch_from_native(sp[:t], sl[:t], ss[:t], me[:t])
+
+    states = init_states(1)
+    valid = np.array([t], np.int32)
+    import jax
+
+    stack = lambda a: np.asarray(a)[None]
+    batch1 = jax.tree_util.tree_map(stack, legacy)
+    pcm_a, st_a = decode_chunk_batch(batch1, states, valid)
+    pcm_b, st_b = decode_chunk_packed_batch(spp[None], side[None], states, valid)
+    assert np.array_equal(np.asarray(pcm_a), np.asarray(pcm_b))
+    assert np.array_equal(np.asarray(st_a.store), np.asarray(st_b.store))
+    assert np.array_equal(np.asarray(st_a.v_fifo), np.asarray(st_b.v_fifo))
+
+
+def test_sharded_packed_decoder_on_mesh(fixture_classic_lame):
+    """The mesh-sharded packed decoder matches the unsharded packed path."""
+    import jax
+
+    from go_mp3_tpu.native.lib import SIDE_WIDTH, NativeParser
+    from go_mp3_tpu.ops.granule import decode_chunk_packed_batch
+    from go_mp3_tpu.parallel.mesh import (
+        init_states,
+        make_mesh,
+        make_sharded_packed_decoder,
+    )
+
+    n_dev = len(jax.devices())
+    t = 8
+    p = NativeParser(fixture_classic_lame)
+    spp = np.zeros((t, 1152), np.int16)
+    side = np.zeros((t, SIDE_WIDTH), np.int16)
+    got = 0
+    while got < t:
+        k = p.parse_packed_into(spp[got:], side[got:])
+        assert k > 0
+        got += k
+    p.close()
+
+    spectra_s = np.broadcast_to(spp, (n_dev, t, 1152)).copy()
+    side_s = np.broadcast_to(side, (n_dev, t, SIDE_WIDTH)).copy()
+    states = init_states(n_dev)
+    valid = np.full(n_dev, t, np.int32)
+
+    fn = make_sharded_packed_decoder(make_mesh())
+    pcm, _ = fn(spectra_s, side_s, states, valid)
+    ref, _ = decode_chunk_packed_batch(spectra_s, side_s, states, valid)
+    assert np.array_equal(np.asarray(pcm), np.asarray(ref))
+
+
+def test_packed8_interface_matches_legacy(fixture_classic_lame, fixture_mpeg2):
+    """The int8-quantized interface (clip + escape deltas + byte sidecar)
+    reconstructs bit-identical GranuleBatches; mpeg2 exercises real escapes
+    (granules with |x| > 127)."""
+    import jax.numpy as jnp
+
+    from go_mp3_tpu.models.native_pipeline import granule_batch_from_native
+    from go_mp3_tpu.native.lib import ESC_SLOTS, SIDE8_WIDTH, NativeParser
+    from go_mp3_tpu.ops.granule import batch_from_packed8
+
+    for data in (fixture_classic_lame, fixture_mpeg2):
+        p = NativeParser(data)
+        sp, sl, ss, me = p.parse_all()
+        p.close()
+        n = sp.shape[0]
+
+        q = NativeParser(data)
+        sp8 = np.zeros((n + 2, 1152), np.int8)
+        esc = np.zeros((n + 2, ESC_SLOTS, 2), np.int16)
+        sd8 = np.zeros((n + 2, SIDE8_WIDTH), np.uint8)
+        got = 0
+        while True:
+            k = q.parse_packed8_into(sp8[got:], esc[got:], sd8[got:])
+            if k == 0:
+                break
+            got += k
+        q.close()
+        assert got == n
+        if data is not fixture_classic_lame:
+            assert (np.abs(sp.reshape(n, 1152)) > 127).any(), "want escapes"
+
+        legacy, _ = granule_batch_from_native(sp, sl, ss, me)
+        packed = batch_from_packed8(
+            jnp.asarray(sp8[:n]), jnp.asarray(esc[:n]), jnp.asarray(sd8[:n])
+        )
+        for f in legacy._fields:
+            assert np.array_equal(
+                np.asarray(getattr(legacy, f)), np.asarray(getattr(packed, f))
+            ), f
