@@ -136,12 +136,19 @@ def main() -> None:
         chunks, valids = [], np.zeros((n_chunks, n_streams), np.int32)
         parse_wall = 0.0
         for c in range(n_chunks):
-            spectra = np.zeros((n_streams, chunk_t, 1152), np.int8)
-            esc = np.zeros((n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
-            side = np.zeros((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
+            # np.empty: the parser writes every byte of the rows it fills;
+            # only rows past `valid` (ragged tails) need explicit zeroing
+            spectra = np.empty((n_streams, chunk_t, 1152), np.int8)
+            esc = np.empty((n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
+            side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
             t0 = time.perf_counter()
             for s, p in enumerate(parsers):
-                valids[c, s] = p.parse_packed8_into(spectra[s], esc[s], side[s])
+                n = p.parse_packed8_into(spectra[s], esc[s], side[s])
+                valids[c, s] = n
+                if n < chunk_t:
+                    spectra[s, n:] = 0
+                    esc[s, n:] = 0
+                    side[s, n:] = 0
             parse_wall += time.perf_counter() - t0
             chunks.append(
                 (

@@ -14,6 +14,11 @@
 #include <cstring>
 #include <vector>
 
+#if defined(__SSE2__) || defined(_M_X64)
+#include <emmintrin.h>
+#define GOMP3_SSE2 1
+#endif
+
 #include "huffman_data.h"
 
 namespace gomp3 {
@@ -1214,6 +1219,36 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* spectra8, int16_t* esc,
       int16_t* de = esc + (g + gr) * (kEscSlots * 2);
       memset(de, 0, kEscSlots * 2 * sizeof(int16_t));
       int ne = 0;
+#ifdef GOMP3_SSE2
+      // saturating narrow 16 values at a time; escapes (saturated lines,
+      // <20/granule on real streams) fix up per mismatching block
+      for (int i = 0; i < 1152; i += 16) {
+        __m128i a = _mm_loadu_si128((const __m128i*)(src + i));
+        __m128i b = _mm_loadu_si128((const __m128i*)(src + i + 8));
+        __m128i pk = _mm_packs_epi16(a, b);
+        _mm_storeu_si128((__m128i*)(d8 + i), pk);
+        // widen the packed bytes back and compare with the originals
+        __m128i lo = _mm_srai_epi16(_mm_unpacklo_epi8(pk, pk), 8);
+        __m128i hi = _mm_srai_epi16(_mm_unpackhi_epi8(pk, pk), 8);
+        int eq = _mm_movemask_epi8(
+            _mm_packs_epi16(_mm_cmpeq_epi16(lo, a), _mm_cmpeq_epi16(hi, b)));
+        if (__builtin_expect(eq != 0xFFFF, 0)) {
+          for (int k = 0; k < 16; k++) {
+            int v = src[i + k];
+            int c = v > 127 ? 127 : (v < -128 ? -128 : v);
+            if (v != c) {
+              if (ne < kEscSlots) {
+                de[2 * ne] = int16_t(i + k);
+                de[2 * ne + 1] = int16_t(v - c);
+                ne++;
+              } else {
+                p->packed8_overflow = true;
+              }
+            }
+          }
+        }
+      }
+#else
       for (int i = 0; i < 1152; i++) {
         int v = src[i];
         int c = v > 127 ? 127 : (v < -128 ? -128 : v);
@@ -1228,6 +1263,7 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* spectra8, int16_t* esc,
           }
         }
       }
+#endif
       const int32_t* mg = meta + gr * 24;
       uint8_t* sd = side8 + (g + gr) * 168;
       int16_t w[22];
