@@ -85,10 +85,15 @@ class Decoder:
                 raise MP3Error("mp3: no decodable frame found")
             self._sample_rate = self._native.sample_rate()
             self._have_frame = True
-            starts, bpf, _sr = self._native.index()
-            self._frame_starts = list(starts)
-            self._bytes_per_frame = bpf
-            self._length = int(bpf * len(starts))
+            idx = self._native.index()
+            if idx is not None:
+                starts, bpf, _sr = idx
+                self._frame_starts = list(starts)
+                self._bytes_per_frame = bpf
+                self._length = int(bpf * len(starts))
+            # else: non-materializable source — Length/Duration/seeking
+            # degrade exactly like the reference's non-Seeker case
+            # (decode.go:159-161); decoding itself streams in bounded memory
             return
 
         self._source.skip_tags()
@@ -409,8 +414,10 @@ class Decoder:
 
 
 def _maybe_native_stream(reader, dsp: str = "device") -> "_NativeStream | None":
-    """Build the native fast path when the C++ parser is available and the
-    source can be materialized in memory (BytesIO or a seekable file)."""
+    """Build the native fast path: whole-buffer parse for materializable
+    sources (BytesIO / seekable file — enables Length + seeking), or the
+    chunked-feed streaming parser for pipe/socket-style readers (bounded
+    memory; Length/seeking degrade as for the reference's non-Seeker case)."""
     try:
         from .native import lib as native
     except Exception:
@@ -418,21 +425,29 @@ def _maybe_native_stream(reader, dsp: str = "device") -> "_NativeStream | None":
     if not native.available():
         return None
     data: bytes | None = None
+    seekable = False
     if isinstance(reader, io.BytesIO):
         start = reader.tell()
         data = reader.getvalue()[start:]
+        seekable = True
     else:
         try:
-            if reader.seekable():
+            seekable = bool(reader.seekable())
+        except Exception:
+            seekable = False
+        if seekable:
+            try:
                 start = reader.tell()
                 data = reader.read()
                 reader.seek(start)
-        except Exception:
-            return None
-    if not data:
-        return None
+            except Exception:
+                return None
     try:
-        return _NativeStream(data, dsp=dsp)
+        if seekable:
+            if not data:
+                return None
+            return _NativeStream(data, dsp=dsp)
+        return _StreamingNativeStream(reader, dsp=dsp)
     except Exception:
         return None
 
@@ -482,6 +497,9 @@ class _NativeStream:
         self._parser.close()
         self._parser = self._NativeParser(self._data, byte_offset)
 
+    def _parse(self, spectra, sfl, sfs, meta) -> int:
+        return self._parser.parse_into(spectra, sfl, sfs, meta)
+
     def _decode_granules(self, want: int) -> bytes | None:
         np = self._np
         want = min(want, self.CHUNK)
@@ -489,7 +507,7 @@ class _NativeStream:
         sfl = np.zeros((want, 2, 22), np.int32)
         sfs = np.zeros((want, 2, 39), np.int32)
         meta = np.zeros((want, self._meta_width), np.int32)
-        n = self._parser.parse_into(spectra, sfl, sfs, meta)
+        n = self._parse(spectra, sfl, sfs, meta)
         if n == 0:
             return None
 
@@ -516,6 +534,59 @@ class _NativeStream:
     def decode_frames(self, n_frames: int, bytes_per_frame: int) -> bytes | None:
         gpf = max(1, bytes_per_frame // (576 * 4))
         return self._decode_granules(n_frames * gpf)
+
+
+class _StreamingNativeStream(_NativeStream):
+    """Chunked-feed native path for non-materializable sources (pipes,
+    sockets, unbounded streams): the C++ parser owns a compacting buffer
+    fed on demand, so memory stays bounded regardless of stream length.
+    Length/seeking are unavailable, mirroring the reference's non-Seeker
+    degradation (decode.go:159-161)."""
+
+    FEED = 1 << 16  # bytes per reader.read()
+
+    def __init__(self, reader, dsp: str = "device"):
+        import numpy as np
+
+        from .native.lib import META_WIDTH, StreamingNativeParser
+
+        self._np = np
+        self._reader = reader
+        self._data = b""
+        self._parser = StreamingNativeParser()
+        self._meta_width = META_WIDTH
+        self._dsp_kind = dsp
+        if dsp == "exact":
+            from .native.lib import NativeDsp
+
+            self._cpu_dsp = NativeDsp()
+            self._state = None
+        else:
+            from .ops.granule import init_state
+
+            self._init_state = init_state
+            self._state = init_state()
+
+    def _feed_more(self) -> bool:
+        if self._parser.eof:
+            return False
+        chunk = self._reader.read(self.FEED)
+        self._parser.feed(chunk or b"", eof=not chunk)
+        return True
+
+    def _parse(self, spectra, sfl, sfs, meta) -> int:
+        while True:
+            n = self._parser.parse_into(spectra, sfl, sfs, meta)
+            if n > 0:
+                return n
+            if not self._feed_more():
+                return 0
+
+    def index(self):
+        return None  # not materializable: Length unknown
+
+    def restart(self, byte_offset: int) -> None:
+        raise NotSeekableError()
 
 
 def _make_backend(name: str):

@@ -100,6 +100,14 @@ def _load():
     ]
     lib.gmp_packed8_overflow.restype = ctypes.c_int
     lib.gmp_packed8_overflow.argtypes = [ctypes.c_void_p]
+    lib.gmp_create_stream.restype = ctypes.c_void_p
+    lib.gmp_create_stream.argtypes = []
+    lib.gmp_feed.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_char_p,
+        ctypes.c_int64,
+        ctypes.c_int,
+    ]
     lib.gmp_dsp_create.restype = ctypes.c_void_p
     lib.gmp_dsp_destroy.argtypes = [ctypes.c_void_p]
     lib.gmp_dsp_reset.argtypes = [ctypes.c_void_p]
@@ -311,6 +319,35 @@ class NativeParser:
                 z((0, META_WIDTH), np.int32),
             )
         return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+
+
+class StreamingNativeParser(NativeParser):
+    """Chunked-feed variant for non-materializable sources (pipes, sockets,
+    unbounded streams — source.go:99-122 semantics): feed() bytes as they
+    arrive, parse in bounded memory (consumed bytes are compacted away).
+    parse_* returning 0 means "need more data" until eof has been fed."""
+
+    def __init__(self):
+        lib = _load()
+        if lib is None:
+            raise RuntimeError("libmp3parse.so not available")
+        self._lib = lib
+        self._data = None
+        self.base_offset = 0
+        self._eof = False
+        self._p = lib.gmp_create_stream()
+
+    def feed(self, data: bytes, eof: bool = False) -> None:
+        self._lib.gmp_feed(self._p, data, len(data), 1 if eof else 0)
+        self._eof = self._eof or eof
+
+    @property
+    def eof(self) -> bool:
+        return self._eof
+
+    def tell(self) -> int:
+        """Global byte position across all fed chunks."""
+        return int(self._lib.gmp_pos(self._p))
 
 
 class NativeDsp:

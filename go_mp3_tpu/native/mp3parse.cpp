@@ -478,6 +478,15 @@ struct Parser {
   int64_t len;
   int64_t pos = 0;
 
+  // streaming (chunked-feed) mode: the parser owns a compacting buffer fed
+  // incrementally (pipe/socket-style sources, source.go:99-122 semantics);
+  // base_consumed keeps gmp_pos global across compactions
+  bool streaming = false;
+  bool fed_eof = false;
+  bool tags_done = false;
+  int64_t base_consumed = 0;
+  std::vector<uint8_t> owned;
+
   bool packed8_overflow = false;        // a granule exceeded kEscSlots
   std::vector<uint8_t> reservoir;       // previous assembled main-data buf
   int64_t reservoir_len = 0;            // logical bytes (buffer carries
@@ -488,7 +497,60 @@ struct Parser {
   int sample_rate = 0;
   const char* error = "";
 
-  Parser(const uint8_t* d, int64_t n) : data(d), len(n) { skip_tags(); }
+  Parser(const uint8_t* d, int64_t n) : data(d), len(n) {
+    skip_tags();
+    tags_done = true;
+  }
+
+  Parser() : data(nullptr), len(0), streaming(true) {}
+
+  void feed(const uint8_t* d, int64_t n, bool eof) {
+    // compact: drop consumed bytes, then append
+    if (pos > 0) {
+      owned.erase(owned.begin(), owned.begin() + pos);
+      base_consumed += pos;
+      pos = 0;
+    }
+    if (n > 0) owned.insert(owned.end(), d, d + n);
+    if (eof) fed_eof = true;
+    data = owned.data();
+    len = int64_t(owned.size());
+  }
+
+  // Retry-safe tag skip for streaming mode: returns false when more bytes
+  // are needed to make progress (same consumption rules as skip_tags once
+  // the data is available / eof is known).
+  bool skip_tags_streaming() {
+    for (;;) {
+      if (remaining() < 3) return fed_eof;  // can't identify a tag yet
+      if (memcmp(data + pos, "TAG", 3) == 0) {
+        if (remaining() < 128) {
+          if (!fed_eof) return false;
+          pos = len;
+          return true;
+        }
+        pos += 128;
+      } else if (memcmp(data + pos, "ID3", 3) == 0) {
+        if (remaining() < 10) {
+          if (!fed_eof) return false;
+          pos = len;
+          return true;
+        }
+        uint32_t size = (uint32_t(data[pos + 6]) << 21) |
+                        (uint32_t(data[pos + 7]) << 14) |
+                        (uint32_t(data[pos + 8]) << 7) |
+                        uint32_t(data[pos + 9]);
+        if (remaining() < int64_t(10) + size) {
+          if (!fed_eof) return false;
+          pos = len;
+          return true;
+        }
+        pos += 10 + size;
+      } else {
+        return true;
+      }
+    }
+  }
 
   // --- byte-level helpers -------------------------------------------------
   int64_t remaining() const { return len - pos; }
@@ -1086,6 +1148,17 @@ void* gmp_create(const uint8_t* data, int64_t len) {
 
 void gmp_destroy(void* p) { delete static_cast<Parser*>(p); }
 
+// Chunked-feed (streaming) parser: create empty, then gmp_feed bytes as
+// they arrive (eof=1 marks the end). The gmp_parse* functions return 0
+// both on "need more data" and on true end of audio; callers distinguish
+// by whether eof has been fed. Consumed bytes are compacted away, so a
+// pipe/socket-style source parses in bounded memory.
+void* gmp_create_stream() { return new Parser(); }
+
+void gmp_feed(void* pv, const uint8_t* data, int64_t len, int eof) {
+  static_cast<Parser*>(pv)->feed(data, len, eof != 0);
+}
+
 int gmp_sample_rate(void* p) { return static_cast<Parser*>(p)->sample_rate; }
 
 const char* gmp_error(void* p) { return static_cast<Parser*>(p)->error; }
@@ -1093,7 +1166,10 @@ const char* gmp_error(void* p) { return static_cast<Parser*>(p)->error; }
 // Checkpoint/resume support: byte position within the creation buffer and
 // the bit-reservoir contents (the previous frame's assembled main-data
 // buffer; its tail feeds the next frame's main_data_begin backreference).
-int64_t gmp_pos(void* pv) { return static_cast<Parser*>(pv)->pos; }
+int64_t gmp_pos(void* pv) {
+  Parser* p = static_cast<Parser*>(pv);
+  return p->base_consumed + p->pos;
+}
 
 int gmp_get_reservoir(void* pv, uint8_t* out, int cap) {
   Parser* p = static_cast<Parser*>(pv);
@@ -1116,18 +1192,34 @@ void gmp_set_reservoir(void* pv, const uint8_t* data, int len) {
 //   spectra [cap][2][576] i32, sfl [cap][2][22] i32, sfs [cap][2][39] i32,
 //   meta [cap][24] i32.
 // Returns granules produced (0 = end of audio), or -1 on hard error.
+// Streaming-mode helper: returns false when the parse loop should stop
+// because tags can't be skipped yet (need more fed bytes).
+static bool stream_ready(Parser* p) {
+  if (!p->streaming || p->tags_done) return true;
+  if (!p->skip_tags_streaming()) return false;
+  p->tags_done = true;
+  return true;
+}
+
 int gmp_parse(void* pv, int cap, int16_t* spectra, int32_t* sfl, int32_t* sfs,
               int32_t* meta) {
   Parser* p = static_cast<Parser*>(pv);
+  if (!stream_ready(p)) return 0;
   int g = 0;
   // a frame yields up to 2 granules, so keep 2 slots free
   while (cap - g >= 2) {
     int produced = 0;
     int64_t fpos = 0;
+    int64_t save_pos = p->pos;
     gomp3::Status st = p->parse_frame(
         spectra + g * 2 * 576, sfl + g * 2 * 22, sfs + g * 2 * 39,
         meta + g * 24, &produced, &fpos);
-    if (st == gomp3::END_OF_AUDIO) break;
+    if (st == gomp3::END_OF_AUDIO) {
+      // in streaming mode a short read may become a full frame after the
+      // next feed; rewind so the retry re-parses from the frame start
+      if (p->streaming && !p->fed_eof) p->pos = save_pos;
+      break;
+    }
     if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
     g += produced;
   }
@@ -1202,6 +1294,7 @@ constexpr int kEscSlots = 32;
 int gmp_parse_packed8(void* pv, int cap, int8_t* spectra8, int16_t* esc,
                       uint8_t* side8) {
   Parser* p = static_cast<Parser*>(pv);
+  if (!stream_ready(p)) return 0;
   int g = 0;
   int16_t sp[2 * 1152];
   int32_t sfl[2 * 2 * 22];
@@ -1210,8 +1303,12 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* spectra8, int16_t* esc,
   while (cap - g >= 2) {
     int produced = 0;
     int64_t fpos = 0;
+    int64_t save_pos = p->pos;
     gomp3::Status st = p->parse_frame(sp, sfl, sfs, meta, &produced, &fpos);
-    if (st == gomp3::END_OF_AUDIO) break;
+    if (st == gomp3::END_OF_AUDIO) {
+      if (p->streaming && !p->fed_eof) p->pos = save_pos;
+      break;
+    }
     if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
     for (int gr = 0; gr < produced; gr++) {
       const int16_t* src = sp + gr * 1152;

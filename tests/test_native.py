@@ -248,3 +248,83 @@ def test_packed8_interface_matches_legacy(fixture_classic_lame, fixture_mpeg2):
             assert np.array_equal(
                 np.asarray(getattr(legacy, f)), np.asarray(getattr(packed, f))
             ), f
+
+
+class _PipeReader:
+    """Non-seekable, read-only stream (pipe/socket stand-in)."""
+
+    def __init__(self, data: bytes, chunk: int = 3789):
+        self._data = data
+        self._off = 0
+        self._chunk = chunk
+
+    def read(self, n: int = -1) -> bytes:
+        n = self._chunk if n is None or n < 0 else min(n, self._chunk)
+        out = self._data[self._off : self._off + n]
+        self._off += len(out)
+        return out
+
+    def seekable(self) -> bool:
+        return False
+
+
+def test_streaming_native_path_nonseekable(fixture_classic_lame, fixture_mpeg2):
+    """A pipe-style source keeps the native fast path (chunked feed, bounded
+    memory) and produces byte-identical PCM; Length/seek degrade like the
+    reference's non-Seeker case (decode.go:159-161)."""
+    from go_mp3_tpu import Decoder, NotSeekableError
+    from go_mp3_tpu.decoder import _StreamingNativeStream
+
+    for data in (fixture_classic_lame, fixture_mpeg2):
+        ref = Decoder(data, backend="exact").read_all()
+        d = Decoder(_PipeReader(data), backend="exact")
+        assert isinstance(d._native, _StreamingNativeStream)
+        assert d.length() == -1
+        pcm = d.read_all()
+        assert pcm == ref
+        with pytest.raises(NotSeekableError):
+            d.seek(4608)
+
+
+def test_streaming_native_path_device_backend(fixture_classic_lame):
+    from go_mp3_tpu import Decoder
+    from go_mp3_tpu.decoder import _StreamingNativeStream
+
+    ref = Decoder(fixture_classic_lame, backend="device").read_all()
+    d = Decoder(_PipeReader(fixture_classic_lame), backend="device")
+    assert isinstance(d._native, _StreamingNativeStream)
+    assert d.read_all() == ref
+
+
+def test_streaming_parser_split_feeds_match(fixture_mpeg2):
+    """Byte-identical granules regardless of feed-chunk boundaries."""
+    from go_mp3_tpu.native.lib import (
+        META_WIDTH,
+        NativeParser,
+        StreamingNativeParser,
+    )
+
+    p = NativeParser(fixture_mpeg2)
+    ref = p.parse_all()
+    p.close()
+    for chunk in (1 << 20, 4096, 517):
+        sp = np.zeros((512, 2, 576), np.int16)
+        sl = np.zeros((512, 2, 22), np.int32)
+        ss = np.zeros((512, 2, 39), np.int32)
+        me = np.zeros((512, META_WIDTH), np.int32)
+        s = StreamingNativeParser()
+        got, off = [], 0
+        while True:
+            piece = fixture_mpeg2[off : off + chunk]
+            off += len(piece)
+            s.feed(piece, eof=off >= len(fixture_mpeg2))
+            while True:
+                n = s.parse_into(sp, sl, ss, me)
+                if n == 0:
+                    break
+                got.append(sp[:n].copy())
+            if off >= len(fixture_mpeg2):
+                break
+        s.close()
+        allsp = np.concatenate(got)
+        assert np.array_equal(allsp, ref[0]), chunk
