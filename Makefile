@@ -15,6 +15,9 @@ fmt:
 
 lint:
 	$(PY) -m compileall -q go_mp3_tpu tests tools
+	$(PY) tools/lint.py
+	g++ -std=c++17 -Wall -Wextra -Werror -fsyntax-only \
+	    go_mp3_tpu/native/mp3parse.cpp go_mp3_tpu/native/mp3dsp.cpp
 	$(PY) -c "import go_mp3_tpu"
 
 test:

@@ -11,7 +11,7 @@ without constructing a decoder.
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import BinaryIO
 
 from .consts import MP3Error

@@ -9,7 +9,6 @@ and callers keep using the pure-Python parser.
 from __future__ import annotations
 
 import ctypes
-import os
 import subprocess
 from pathlib import Path
 

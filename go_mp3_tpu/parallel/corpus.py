@@ -11,7 +11,6 @@ from __future__ import annotations
 import io
 from dataclasses import dataclass
 
-import jax.numpy as jnp
 import numpy as np
 
 from ..bitstream import Source

@@ -8,7 +8,6 @@ full-compliance bounds (RMS < 0.289 LSB, maxdiff <= 2) validates both.
 import io
 
 import numpy as np
-import pytest
 
 from go_mp3_tpu.bitstream import Source
 from go_mp3_tpu.bitstream.parser import FrameReader

@@ -1,7 +1,6 @@
 """Robustness corpus: malformed inputs must never crash the decoder
 (model: fuzzing_test.go — errors are fine, panics are not)."""
 
-import io
 import random
 
 import pytest

@@ -2,9 +2,7 @@
 CPU; the same kernel compiles natively on TPU)."""
 
 import numpy as np
-import pytest
 
-import jax
 import jax.numpy as jnp
 
 from go_mp3_tpu.models.pipeline import pack_granule_batch
