@@ -56,15 +56,13 @@ def _pick_tile(rows: int) -> int:
     return rows
 
 
-def _synth_kernel(
-    valid_ref, s2_ref, w2_ref, vh0_ref, d_ref, out_ref, vtail_ref, vh_scratch
-):
+def _synth_kernel(s2_ref, w2_ref, vh0_ref, d_ref, out_ref, vh_scratch):
     """s2: [R, 64] (ch0 lanes 0:32 | ch1 32:64) time-major synthesis inputs;
     vh0: [16, 128] packed v-history (oldest first); d: [16, 32];
-    valid: [1] granule count (state is taken after valid*18 rows, so padded
-    chunks carry correct state); out: [R, 64] windowed sums (ch0 | ch1);
-    vtail: [16, 128] history after the valid rows; vh_scratch: [R+16, 128]
-    VMEM staging for the v-history.
+    out: [R, 64] windowed sums (ch0 | ch1); vh_scratch: [R+16, 128] VMEM
+    staging for the v-history. The post-`valid` FIFO tail is reconstructed
+    OUTSIDE the kernel (a 16-row matmul) so no scalar operand crosses the
+    pallas_call boundary — scalar blocks don't batch under vmap.
 
     The matrixing + FIR runs in sequential row tiles over the scratch ref so
     only one tile's working set is live (the full-chunk form blows the
@@ -95,8 +93,6 @@ def _synth_kernel(
         return carry
 
     jax.lax.fori_loop(0, n_tiles, body, 0)
-    start = valid_ref[0] * 18
-    vtail_ref[:] = vh_scratch[pl.ds(start, 16)]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -129,22 +125,28 @@ def polyphase_pallas(
     )
 
     assert _HAS_PLTPU, "pallas TPU support unavailable"
+    w2 = jnp.asarray(_W2)
     scratch_shapes = [pltpu.VMEM((rows + 16, 128), jnp.float32)]
-    out, vtail = pl.pallas_call(
+    out = pl.pallas_call(
         _synth_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((rows, 64), jnp.float32),
-            jax.ShapeDtypeStruct((16, 128), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((rows, 64), jnp.float32),
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(
-        jnp.reshape(valid.astype(jnp.int32), (1,)),
-        s2,
-        jnp.asarray(_W2),
-        vh0,
-        jnp.asarray(_D16),
+    )(s2, w2, vh0, jnp.asarray(_D16))
+
+    # FIFO tail after `valid` granules, reconstructed outside the kernel:
+    # virtual v-history row i (i in [-16, rows)) is vh0[16+i] for i < 0 and
+    # s2[i] @ w2 otherwise — re-matrixing the <=16 needed rows costs one tiny
+    # MXU call and keeps the kernel free of scalar operands.
+    start = valid.astype(jnp.int32) * 18
+    idx = start - 16 + jnp.arange(16, dtype=jnp.int32)  # [-16, rows)
+    s_rows = jnp.take(s2, jnp.clip(idx, 0, rows - 1), axis=0)  # [16, 64]
+    v_rows = jnp.dot(
+        s_rows, w2, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
+    old = jnp.take(vh0, jnp.clip(idx + 16, 0, 15), axis=0)
+    vtail = jnp.where((idx < 0)[:, None], old, v_rows)
 
     pcm = jnp.stack([out[:, :32], out[:, 32:]], axis=0)  # [2, R, 32]
     v_fifo_out = jnp.stack(
@@ -184,6 +186,23 @@ def _decode_chunk_pallas_impl(
     )
     store_out = jnp.where(valid > 0, store_out, state.store)
     return pcm, DecodeState(store=store_out, v_fifo=v_fifo_out)
+
+
+def decode_chunk_packed8_pallas_impl(
+    spectra8: jax.Array,
+    esc: jax.Array,
+    side8: jax.Array,
+    state: DecodeState,
+    valid: jax.Array,
+    interpret: bool = False,
+):
+    """Pallas-synthesis decode over the int8-quantized host interface
+    (same contract as granule.decode_chunk_packed8_impl)."""
+    from .granule import batch_from_packed8
+
+    return _decode_chunk_pallas_impl(
+        batch_from_packed8(spectra8, esc, side8), state, valid, interpret
+    )
 
 
 decode_chunk_pallas = jax.jit(
