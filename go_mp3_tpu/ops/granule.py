@@ -105,12 +105,21 @@ def _expand_bands(values: jax.Array, vh: jax.Array, e: jax.Array) -> jax.Array:
     e: [6*B, 576]. Values are placed into their variant's row block
     (masked broadcast, no gather) and one matmul scatters them to lines.
     One-hot operands keep the MXU result exact in f32.
+
+    Layout note: the operand is assembled with repeat/tile along the
+    TRAILING axis and the matmul runs over flattened [T*C, 6B] rows — a
+    [T, C, 6, B] one-hot broadcast + reshape would tile-pad its trailing
+    (6, B) dims to (8, 128) (~8x the HBM) and insert a relayout copy
+    between incompatible tilings.
     """
     t_dim, c_dim, b_dim = values.shape
-    big = (values[:, :, None, :] * vh[:, None, :, None]).reshape(
-        t_dim, c_dim, _NV * b_dim
+    # big[t, c, v*B + b] = values[t, c, b] * vh[t, v]
+    vh_rep = jnp.repeat(vh, b_dim, axis=-1)  # [T, 6B]
+    big = jnp.tile(values, (1, 1, _NV)) * vh_rep[:, None, :]
+    out = jnp.dot(
+        big.reshape(t_dim * c_dim, _NV * b_dim), e, precision=_HI
     )
-    return jnp.einsum("tcx,xl->tcl", big, e, precision=_HI)
+    return out.reshape(t_dim, c_dim, e.shape[1])
 
 
 def _select_by_variant(vh: jax.Array, table: jax.Array) -> jax.Array:
