@@ -869,23 +869,20 @@ struct Parser {
     lane_finalize(L, si);
   }
 
-  // Run all lanes round-robin (compacting finished lanes out of the hot
-  // loop), then finish stragglers exactly.
+  // Run all lanes round-robin, then finish stragglers exactly. (A
+  // swap-remove active list measured 20% SLOWER than these predictable
+  // per-lane flag checks — the indirection defeats the branch predictor.)
   void run_lanes(HuffLane* lanes, int nl, BitReader& m, SideInfo* si) {
     const uint8_t* buf = m.vec;
     const int64_t total = m.total_bits();
-    int act[8];
-    int na = 0;
-    for (int i = 0; i < nl; i++) act[na++] = i;
-    while (na > 0) {
-      for (int i = 0; i < na;) {
-        HuffLane& L = lanes[act[i]];
-        lane_step(L, buf, total);
-        if (__builtin_expect(!L.active, 0))
-          act[i] = act[--na];  // swap-remove; re-check this slot
-        else
-          i++;
-      }
+    for (;;) {
+      bool any = false;
+      for (int i = 0; i < nl; i++)
+        if (lanes[i].active) {
+          lane_step(lanes[i], buf, total);
+          any = true;
+        }
+      if (!any) break;
     }
     for (int i = 0; i < nl; i++) {
       if (lanes[i].scalar)
