@@ -869,9 +869,14 @@ struct Parser {
     lane_finalize(L, si);
   }
 
-  // Run all lanes round-robin, then finish stragglers exactly. (A
-  // swap-remove active list measured 20% SLOWER than these predictable
-  // per-lane flag checks — the indirection defeats the branch predictor.)
+  // Run all lanes round-robin, then finish stragglers exactly.
+  // Negative results (interleaved A/B on this host, keep for posterity):
+  //  - a swap-remove active list measured 20% SLOWER than these
+  //    predictable per-lane flag checks (indirection defeats the BP);
+  //  - decoding 2-3 FRAMES' lanes together (8-12 lanes, frame group
+  //    pipelining with reservoir rollback) measured ~10% slower than the
+  //    4 within-frame lanes — the OoO core saturates at 4 chains and the
+  //    extra lanes just add L1 pressure.
   void run_lanes(HuffLane* lanes, int nl, BitReader& m, SideInfo* si) {
     const uint8_t* buf = m.vec;
     const int64_t total = m.total_bits();
