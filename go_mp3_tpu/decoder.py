@@ -500,33 +500,46 @@ class _NativeStream:
     def _parse(self, spectra, sfl, sfs, meta) -> int:
         return self._parser.parse_into(spectra, sfl, sfs, meta)
 
+    def _parse_packed(self, spectra, side) -> int:
+        return self._parser.parse_packed_into(spectra, side)
+
     def _decode_granules(self, want: int) -> bytes | None:
         np = self._np
         want = min(want, self.CHUNK)
-        spectra = np.zeros((want, 2, 576), np.int16)
-        sfl = np.zeros((want, 2, 22), np.int32)
-        sfs = np.zeros((want, 2, 39), np.int32)
-        meta = np.zeros((want, self._meta_width), np.int32)
-        n = self._parse(spectra, sfl, sfs, meta)
-        if n == 0:
-            return None
 
         if self._dsp_kind == "exact":
+            spectra = np.zeros((want, 2, 576), np.int16)
+            sfl = np.zeros((want, 2, 22), np.int32)
+            sfs = np.zeros((want, 2, 39), np.int32)
+            meta = np.zeros((want, self._meta_width), np.int32)
+            n = self._parse(spectra, sfl, sfs, meta)
+            if n == 0:
+                return None
             pcm = self._cpu_dsp.decode(
                 spectra[:n], sfl[:n], sfs[:n], meta[:n]
             )
             return pcm.tobytes()
 
+        # device path: the packed int16 interface (two flat arrays, unpacked
+        # on device inside jit — same layout family the corpus pipeline
+        # ships). Arrays are CHUNK-sized so there is exactly one compilation;
+        # rows past `n` stay zero and are masked by `valid`.
+        from .native.lib import SIDE_WIDTH
+
+        spectra = np.zeros((self.CHUNK, 1152), np.int16)
+        side = np.zeros((self.CHUNK, SIDE_WIDTH), np.int16)
+        n = self._parse_packed(spectra[:want], side[:want])
+        if n == 0:
+            return None
+
         import jax.numpy as jnp
 
-        from .models.native_pipeline import granule_batch_from_native
-        from .ops.granule import decode_chunk
+        from .ops.granule import decode_chunk_packed
 
-        batch, valid = granule_batch_from_native(
-            spectra[:n], sfl[:n], sfs[:n], meta[:n], pad_to=self.CHUNK
+        pcm, self._state = decode_chunk_packed(
+            spectra, side, self._state, jnp.int32(n)
         )
-        pcm, self._state = decode_chunk(batch, self._state, jnp.int32(valid))
-        return np.asarray(pcm[: valid * 576]).tobytes()
+        return np.asarray(pcm[: n * 576]).tobytes()
 
     def decode_more(self) -> bytes | None:
         return self._decode_granules(self.CHUNK)
@@ -577,6 +590,14 @@ class _StreamingNativeStream(_NativeStream):
     def _parse(self, spectra, sfl, sfs, meta) -> int:
         while True:
             n = self._parser.parse_into(spectra, sfl, sfs, meta)
+            if n > 0:
+                return n
+            if not self._feed_more():
+                return 0
+
+    def _parse_packed(self, spectra, side) -> int:
+        while True:
+            n = self._parser.parse_packed_into(spectra, side)
             if n > 0:
                 return n
             if not self._feed_more():

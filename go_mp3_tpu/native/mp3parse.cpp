@@ -1245,6 +1245,7 @@ int gmp_parse(void* pv, int cap, int16_t* spectra, int32_t* sfl, int32_t* sfs,
 // Returns granules produced (0 = end of audio), or -1 on hard error.
 int gmp_parse_packed(void* pv, int cap, int16_t* spectra, int16_t* side) {
   Parser* p = static_cast<Parser*>(pv);
+  if (!stream_ready(p)) return 0;
   int g = 0;
   int32_t sfl[2 * 2 * 22];
   int32_t sfs[2 * 2 * 39];
@@ -1252,9 +1253,15 @@ int gmp_parse_packed(void* pv, int cap, int16_t* spectra, int16_t* side) {
   while (cap - g >= 2) {
     int produced = 0;
     int64_t fpos = 0;
+    int64_t save_pos = p->pos;
     gomp3::Status st = p->parse_frame(spectra + g * 1152, sfl, sfs, meta,
                                       &produced, &fpos);
-    if (st == gomp3::END_OF_AUDIO) break;
+    if (st == gomp3::END_OF_AUDIO) {
+      // in streaming mode a short read may become a full frame after the
+      // next feed; rewind so the retry re-parses from the frame start
+      if (p->streaming && !p->fed_eof) p->pos = save_pos;
+      break;
+    }
     if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
     for (int gr = 0; gr < produced; gr++) {
       const int32_t* mg = meta + gr * 24;

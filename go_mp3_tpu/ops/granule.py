@@ -449,6 +449,9 @@ def decode_chunk_packed_impl(
 # Single-stream chunk decode: [T, ...] -> [T*576, 2]
 decode_chunk = jax.jit(decode_chunk_impl)
 
+# Single-stream packed-interface decode: ([T,1152] i16, [T,144] i16, ...)
+decode_chunk_packed = jax.jit(decode_chunk_packed_impl)
+
 # Packed-interface batch decode: ([S,T,1152], [S,T,144], states, valid[S])
 decode_chunk_packed_batch = jax.jit(jax.vmap(decode_chunk_packed_impl))
 
