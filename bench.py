@@ -7,15 +7,16 @@ Pipeline: the native C++ parser fills three flat arrays per chunk
 which are device_put ASYNCHRONOUSLY as soon as each chunk is parsed, so
 host parse overlaps the H2D transfers. The whole corpus then decodes in
 ONE jitted lax.scan over chunks (state carried on-device), amortizing
-the per-execute dispatch round-trip — in this environment the chip sits
-behind a relay where each execute costs ~0.5 s of latency, so chunk-wise
-dispatch would dominate the wall clock.
+per-execute dispatch latency. The program is AOT-compiled from shapes
+before timing (one-time, amortized across a fleet).
 
-Phase order matters in this environment: loading any sizable program
-onto the relay-attached chip permanently degrades later H2D transfers
-(~1 GB/s -> ~50 MB/s, measured), so the timed pipeline uploads the whole
-corpus FIRST, then compiles/loads (untimed, one-time, amortized across a
-fleet in production), then executes. Detail records each phase.
+Measurement rules for this environment (hard-won; see CLAUDE.md):
+block_until_ready can signal at ENQUEUE rather than completion, so the
+timed region ends at an actual FETCH of the (tiny) energies output — the
+only proof the transfers and the computation really finished. The wire
+behind the relay runs ~50-110 MB/s true H2D (content-dependent — it
+compresses) and both it and the shared single-core host swing
+minute-to-minute, so the run repeats 3x and the minimum is reported.
 
 Corpus: 48 streams of classic_lame.mp3 x4 (MPEG-1 44.1 kHz stereo VBR) +
 16 streams of mpeg2.mp3 (MPEG-2 22.05 kHz mono speech) — mixed variants,
@@ -74,7 +75,7 @@ def main() -> None:
 
     n_classic, n_mpeg2 = 48, 16
     n_streams = n_classic + n_mpeg2
-    chunk_t = 256
+    chunk_t = int(os.environ.get("GOMP3_CHUNK_T", "256"))
     stream_data = [classic] * n_classic + [mpeg2] * n_mpeg2
 
     log(f"devices: {jax.devices()}")
@@ -103,21 +104,23 @@ def main() -> None:
     )
     n_chunks = max(-(-g // chunk_t) for g in gr_by_stream)
 
-    # single-execute corpus decode: scan the chunk sequence on-device
+    # single-execute corpus decode: scan the chunk sequence on-device.
+    # Spectra arrive LINE-MAJOR ([S,1152,T] — measured 32% cheaper through
+    # the relay's compressing link than granule-major; lines cluster zeros
+    # and magnitudes across time) and are re-transposed on device. The tiny
+    # escape/sidecar arrays ship as two corpus-wide batched transfers
+    # (per-chunk small puts pay disproportionate per-transfer overhead).
     batched_chunk = jax.vmap(chunk_fn)
 
     @jax.jit
-    def decode_corpus(chunks, states, valids):
-        # chunks: list of (spectra8 [S,T,1152] i8, esc [S,T,K,2] i16,
-        # side8 [S,T,168] u8) device arrays. Returns per-chunk per-stream
-        # |PCM| energies (the full PCM cannot be skipped by XLA — the
-        # energies and the carried DSP state depend on it — but only [C,S]
-        # scalars come back out, the shape an on-device consumer would see;
-        # PCM correctness is pinned by the validation probe and the test
-        # suite's parity gates).
-        sp_all = jnp.stack([c[0] for c in chunks])  # [C,S,T,1152]
-        es_all = jnp.stack([c[1] for c in chunks])
-        sd_all = jnp.stack([c[2] for c in chunks])
+    def decode_corpus(sp_chunks, es_all, sd_all, states, valids):
+        # sp_chunks: list of [S,1152,T] i8; es_all [C,S,T,K,2] i16;
+        # sd_all [C,S,T,168] u8. Returns per-chunk per-stream |PCM| energies
+        # (the full PCM cannot be skipped by XLA — the energies and the
+        # carried DSP state depend on it — but only [C,S] scalars come back
+        # out, the shape an on-device consumer would see; PCM correctness is
+        # pinned by the validation probe and the test suite's parity gates).
+        sp_all = jnp.stack([jnp.swapaxes(c, 1, 2) for c in sp_chunks])
 
         def step(st, xs):
             sp, es, sd, v = xs
@@ -162,68 +165,73 @@ def main() -> None:
             p.close()
         return pool, valids
 
-    # --- timed phase 1a: parse the whole corpus (host) ----------------------
-    # (idempotent; retried when clearly slowed by ambient CPU contention on
-    # this shared single-core host — min over attempts is the honest
-    # steady-state number, same policy as the upload attempts below)
-    parse_wall = float("inf")
-    for attempt in range(3):
-        t0 = time.perf_counter()
-        host_chunks, valids = parse_corpus()
-        parse_wall = min(parse_wall, time.perf_counter() - t0)
-        if parse_wall < 1.5:
-            break
-    log(f"parse: {parse_wall:.3f}s ({audio_secs / parse_wall:.0f}x realtime)")
-
-    # --- timed phase 1b: upload (async burst, before any program is loaded —
-    # see module docstring). The relay's throughput swings minute-to-minute;
-    # a clearly-slow attempt is retried (fresh transfers, still pre-load) and
-    # the best attempt stands, since the corpus content is identical.
-    upload_wall = float("inf")
-    chunks = None
-    for attempt in range(3):
-        del chunks
-        t0 = time.perf_counter()
-        chunks = [
-            tuple(jax.device_put(a) for a in ch) for ch in host_chunks
-        ]
-        jax.block_until_ready(chunks)
-        upload_wall = min(upload_wall, time.perf_counter() - t0)
-        if upload_wall < 1.5:
-            break
-        log(f"upload attempt {attempt}: {time.perf_counter() - t0:.3f}s")
-    del host_chunks
-    parse_upload_wall = parse_wall + upload_wall
-    log(f"parse+upload: {parse_upload_wall:.3f}s (upload {upload_wall:.3f}s)")
-
-    # --- untimed: compile + load the corpus program -------------------------
+    # --- untimed: AOT-compile + load the corpus program ---------------------
+    # (legitimately one-time: a fleet reuses the loaded program per corpus;
+    # compilation needs only shapes, no transfers)
     states = init_states(n_streams)
+    valids0 = np.zeros((n_chunks, n_streams), np.int32)
     t0 = time.perf_counter()
-    shapes = jax.tree_util.tree_map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), (chunks, states, valids)
+    sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
+    shapes = (
+        [sds((n_streams, 1152, chunk_t), np.int8) for _ in range(n_chunks)],
+        sds((n_chunks, n_streams, chunk_t, ESC_SLOTS, 2), np.int16),
+        sds((n_chunks, n_streams, chunk_t, SIDE8_WIDTH), np.uint8),
+        jax.tree_util.tree_map(
+            lambda x: sds(x.shape, x.dtype), states
+        ),
+        sds(valids0.shape, np.int32),
     )
     compiled = decode_corpus.lower(*shapes).compile()
     log(f"compile+load: {time.perf_counter() - t0:.2f}s (one-time, untimed)")
 
-    # --- timed phase 2: execute ---------------------------------------------
-    t0 = time.perf_counter()
-    energies, _ = compiled(chunks, states, valids)
-    energies.block_until_ready()
-    exec_wall = time.perf_counter() - t0
-    # exec repeats for a stable number (same loaded program, inputs resident)
-    for _ in range(2):
-        t0 = time.perf_counter()
-        e2, _ = compiled(chunks, states, valids)
-        e2.block_until_ready()
-        exec_wall = min(exec_wall, time.perf_counter() - t0)
-        del e2
-    log(f"execute: {exec_wall:.3f}s")
-    total_wall = parse_upload_wall + exec_wall
-    del chunks
+    # --- timed: the full pipeline, end to end --------------------------------
+    # parse chunk -> device_put (async; the client's transfer threads drain
+    # in the background while later chunks parse) -> one scan execute ->
+    # FETCH of the [C,S] energies. block_until_ready on this platform
+    # signals at enqueue, so only the final fetch round-trip proves the
+    # whole pipeline (transfers included) actually completed. Repeated 3x,
+    # best run reported: both the shared single-core host and the relay
+    # link swing minute-to-minute, and the minimum is the honest
+    # steady-state capability of the decoder itself.
+    es_all = np.empty((n_chunks, n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
+    sd_all = np.empty((n_chunks, n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
+    runs = []
+    en = None
+    for rep in range(3):
+        states = init_states(n_streams)
+        t_start = time.perf_counter()
+        parsers = [NativeParser(d) for d in stream_data]
+        valids = np.zeros((n_chunks, n_streams), np.int32)
+        sp_chunks = []
+        parse_wall = 0.0
+        for c, (spectra, esc, side) in enumerate(pool):
+            t0 = time.perf_counter()
+            for s, p in enumerate(parsers):
+                n = p.parse_packed8_into(spectra[s], esc[s], side[s])
+                valids[c, s] = n
+                if n < chunk_t:
+                    spectra[s, n:] = 0
+                    esc[s, n:] = 0
+                    side[s, n:] = 0
+            es_all[c] = esc
+            sd_all[c] = side
+            spT = np.ascontiguousarray(spectra.transpose(0, 2, 1))
+            parse_wall += time.perf_counter() - t0
+            sp_chunks.append(jax.device_put(spT))
+        for p in parsers:
+            p.close()
+        des = jax.device_put(es_all)
+        dsd = jax.device_put(sd_all)
+        energies, _ = compiled(sp_chunks, des, dsd, states, valids)
+        en = np.asarray(energies)  # the fence: pipeline provably done
+        total_wall = time.perf_counter() - t_start
+        del sp_chunks, des, dsd, energies
+        runs.append((total_wall, parse_wall))
+        log(f"run {rep}: wall {total_wall:.3f}s (parse {parse_wall:.3f}s inside)")
+    total_wall, parse_wall = min(runs)
 
-    en = np.asarray(energies)  # [C, S] — decoded audio must be non-silent
+    # [C, S] — decoded audio must be non-silent
     assert (en[:2] > 0).all(), "every stream's first chunks should be non-silent"
-    del energies
 
     end_to_end_x = audio_secs / total_wall
 
@@ -243,14 +251,16 @@ def main() -> None:
     des = jax.device_put(es0)
     dsd = jax.device_put(sd0)
     jax.block_until_ready((dsp, des, dsd))
+    for a in (dsp, des, dsd):
+        np.asarray(a[0, 0, :4])
     probe_upload = time.perf_counter() - t0
     chunk_decode = jax.jit(batched_chunk)
     z_valid = np.full(n_streams, chunk_t, np.int32)
     pcm, _ = chunk_decode(dsp, des, dsd, states, z_valid)  # compile
-    pcm.block_until_ready()
+    np.asarray(pcm[0, :4])
     t0 = time.perf_counter()
     pcm, _ = chunk_decode(dsp, des, dsd, states, z_valid)
-    pcm.block_until_ready()
+    np.asarray(pcm[0, :4])  # fetch forces true completion
     probe_compute = time.perf_counter() - t0
     chunk_audio = sum(chunk_t * SAMPLES_PER_GR / sr for sr in sr_by_stream)
     log(
@@ -270,7 +280,7 @@ def main() -> None:
 
     log(
         f"audio={audio_secs:.1f}s wall={total_wall:.3f}s "
-        f"(parse+upload {parse_upload_wall:.3f}s + execute {exec_wall:.3f}s) "
+        f"(host parse {parse_wall:.3f}s inside, transfers+exec overlap) "
         f"end-to-end {end_to_end_x:.1f}x; d2h {d2h:.0f} MB/s"
     )
 
@@ -293,8 +303,8 @@ def main() -> None:
             "n_chunks": n_chunks,
             "audio_seconds": round(audio_secs, 1),
             "d2h_tunnel_mb_s": round(d2h, 1),
-            "parse_upload_wall_s": round(parse_upload_wall, 3),
-            "exec_wall_s": round(exec_wall, 3),
+            "runs_wall_s": [round(w, 3) for w, _ in runs],
+            "parse_wall_s": round(parse_wall, 3),
             "host_cores": 1,
         },
     }
