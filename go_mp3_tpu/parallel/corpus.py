@@ -48,6 +48,140 @@ class CorpusResult:
     samples: int  # total output samples (per channel)
 
 
+def decode_corpus_fast(
+    stream_bytes: list[bytes],
+    chunk_t: int = 256,
+    fetch: bool = True,
+):
+    """High-throughput corpus decode: the production pipeline.
+
+    C++ packed parse (gmp_parse_packed8: int8 spectra + escape deltas +
+    byte sidecar — the minimal-byte device interface) -> asynchronous
+    line-major uploads (measured ~32% cheaper through compressing links
+    than granule-major) -> ONE jitted lax.scan over all chunks with the
+    DSP state as carry (amortizes per-execute dispatch latency).
+
+    This is the same pipeline bench.py measures; `decode_corpus` below
+    keeps the pure-Python parse for auditability.
+
+    Returns CorpusResult when fetch=True (PCM pulled to host — on a slow
+    device link this readback can dominate; pass fetch=False to keep the
+    PCM on device and get (pcms [C,S,chunk_t*576,2] int16 jax.Array,
+    valids [C,S] np.ndarray) for on-device consumption).
+
+    Falls back to the int16 packed interface if a (pathological) stream
+    overflows the int8 escape slots.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..native.lib import ESC_SLOTS, SIDE8_WIDTH, NativeParser
+    from ..ops.granule import decode_chunk_packed8_impl, decode_chunk_packed_impl
+
+    n_streams = len(stream_bytes)
+    if n_streams == 0:
+        return CorpusResult(pcm=[], granules=0, samples=0)
+
+    def parse_all(int8: bool):
+        parsers = [NativeParser(d) for d in stream_bytes]
+        sp8 = np.empty((n_streams, chunk_t, 1152), np.int8)
+        esc = np.empty((n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
+        side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
+        sp16 = np.empty((n_streams, chunk_t, 1152), np.int16)
+        side16 = np.empty((n_streams, chunk_t, 144), np.int16)
+        sp_chunks, aux_chunks, valid_rows = [], [], []
+        try:
+            while True:
+                valids = np.zeros(n_streams, np.int32)
+                for s, p in enumerate(parsers):
+                    if int8:
+                        n = p.parse_packed8_into(sp8[s], esc[s], side[s])
+                    else:
+                        n = p.parse_packed_into(sp16[s], side16[s])
+                    valids[s] = n
+                    if n < chunk_t:
+                        if int8:
+                            sp8[s, n:] = 0
+                            esc[s, n:] = 0
+                            side[s, n:] = 0
+                        else:
+                            sp16[s, n:] = 0
+                            side16[s, n:] = 0
+                if not valids.any():
+                    break
+                sp = sp8 if int8 else sp16
+                # line-major for the transfer; re-transposed on device
+                sp_chunks.append(
+                    jax.device_put(np.ascontiguousarray(sp.transpose(0, 2, 1)))
+                )
+                aux_chunks.append(
+                    (esc.copy(), side.copy()) if int8 else (side16.copy(),)
+                )
+                valid_rows.append(valids.copy())
+        finally:
+            for p in parsers:
+                p.close()
+        return sp_chunks, aux_chunks, valid_rows
+
+    try:
+        int8 = True
+        sp_chunks, aux_chunks, valid_rows = parse_all(int8=True)
+    except OverflowError:
+        int8 = False
+        sp_chunks, aux_chunks, valid_rows = parse_all(int8=False)
+
+    if not sp_chunks:
+        return CorpusResult(pcm=[b""] * n_streams, granules=0, samples=0)
+
+    valids = np.stack(valid_rows)  # [C, S]
+    states = init_states(n_streams)
+
+    if int8:
+        chunk_impl = decode_chunk_packed8_impl
+        aux_all = tuple(
+            jax.device_put(np.stack([a[i] for a in aux_chunks]))
+            for i in range(2)
+        )
+    else:
+        chunk_impl = decode_chunk_packed_impl
+        aux_all = (
+            jax.device_put(np.stack([a[0] for a in aux_chunks])),
+        )
+    batched = jax.vmap(chunk_impl)
+
+    @jax.jit
+    def scan_corpus(sp_chunks, aux_all, states, valids):
+        sp_all = jnp.stack([jnp.swapaxes(c, 1, 2) for c in sp_chunks])
+
+        def step(st, xs):
+            sp, v = xs[0], xs[-1]
+            pcm, st = batched(sp, *xs[1:-1], st, v)
+            return st, pcm
+
+        states, pcms = jax.lax.scan(
+            step, states, (sp_all, *aux_all, valids)
+        )
+        return pcms, states
+
+    pcms, _ = scan_corpus(sp_chunks, aux_all, states, valids)
+    if not fetch:
+        return pcms, valids
+
+    host = np.asarray(pcms)  # [C, S, chunk_t*576, 2]
+    parts: list[list[bytes]] = [[] for _ in range(n_streams)]
+    for c in range(valids.shape[0]):
+        for s in range(n_streams):
+            v = int(valids[c, s])
+            if v:
+                parts[s].append(host[c, s, : v * SAMPLES_PER_GR].tobytes())
+    total = int(valids.sum())
+    return CorpusResult(
+        pcm=[b"".join(p) for p in parts],
+        granules=total,
+        samples=total * SAMPLES_PER_GR,
+    )
+
+
 def decode_corpus(
     streams: list[list[GranuleMeta]],
     chunk_t: int = 128,

@@ -51,3 +51,42 @@ def test_mono_stereo_mix_in_one_batch(small_streams):
     assert (mono_pcm[:, 0] == mono_pcm[:, 1]).all()
     stereo_pcm = np.frombuffer(res.pcm[0], dtype="<i2").reshape(-1, 2)
     assert (stereo_pcm[:, 0] != stereo_pcm[:, 1]).any()
+
+
+def test_decode_corpus_fast_matches_decoder(fixture_classic_lame, fixture_mpeg2):
+    """The production fast-corpus pipeline (packed8 parse -> line-major
+    uploads -> one scan) produces byte-identical PCM to the per-stream
+    device Decoder, across mixed variants and ragged lengths."""
+    from go_mp3_tpu import Decoder
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    streams = [
+        fixture_classic_lame,
+        fixture_mpeg2[:40_000],
+        fixture_classic_lame[:30_000],
+    ]
+    result = decode_corpus_fast(streams, chunk_t=64)
+    assert len(result.pcm) == 3
+    for data, pcm in zip(streams, result.pcm):
+        ref = Decoder(data, backend="device").read_all()
+        assert pcm == ref
+    assert result.granules > 0
+    assert result.samples == result.granules * 576
+
+
+def test_decode_corpus_fast_device_resident(fixture_classic_lame):
+    """fetch=False keeps PCM on device; validity masks line up."""
+    import numpy as np
+
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    pcms, valids = decode_corpus_fast(
+        [fixture_classic_lame, fixture_classic_lame[:20_000]],
+        chunk_t=64,
+        fetch=False,
+    )
+    assert pcms.shape[0] == valids.shape[0]
+    assert pcms.shape[1] == 2
+    assert pcms.shape[2] == 64 * 576
+    assert valids[0, 0] == 64  # full first chunk for the full stream
+    assert (np.asarray(valids) >= 0).all()
