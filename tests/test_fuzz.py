@@ -168,3 +168,43 @@ def test_native_parser_fuzz(fixture_classic_lame):
             p.close()
         except (ValueError, RuntimeError):
             pass
+
+
+def test_mutated_streams_native_python_parity(fixture_classic_lame, fixture_mpeg2):
+    """On bit-flipped streams the C++ and Python parsers must still produce
+    IDENTICAL granule records (not merely both survive): resync points,
+    reservoir skips and rollback behavior all have to match."""
+    import numpy as np
+
+    from go_mp3_tpu.models.pipeline import pack_granule_batch
+    from go_mp3_tpu.native import lib as native
+    from go_mp3_tpu.parallel.corpus import parse_stream_granules
+
+    if not native.available():
+        pytest.skip("native lib not built")
+
+    for base_data, seeds in (
+        (fixture_classic_lame, range(12)),
+        (fixture_mpeg2, range(12, 24)),
+    ):
+        for seed in seeds:
+            rng = random.Random(seed)
+            m = bytearray(base_data[:40_000])
+            for _ in range(rng.randint(1, 40)):
+                pos = rng.randrange(len(m))
+                m[pos] ^= 1 << rng.randrange(8)
+            m = bytes(m)
+            try:
+                pg = parse_stream_granules(m)
+                pb, _ = pack_granule_batch(pg)
+            except MP3Error:
+                continue  # python treats the stream as fatal: nothing to compare
+            p = native.NativeParser(m)
+            try:
+                nsp, nsl, nss, nme = p.parse_all()
+            finally:
+                p.close()
+            psp = np.asarray(pb.spectra)
+            assert len(nsp) == len(psp), (seed, len(nsp), len(psp))
+            assert np.array_equal(nsp, psp), seed
+            assert np.array_equal(nsl, np.asarray(pb.scalefac_l)), seed
