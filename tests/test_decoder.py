@@ -262,3 +262,62 @@ def test_device_backend_matches_golden(fixture_classic_lame):
     a = np.frombuffer(gold.read(20 * 4608), dtype="<i2").astype(np.int32)
     b = np.frombuffer(dev.read(20 * 4608), dtype="<i2").astype(np.int32)
     assert np.abs(a - b).max() <= 2
+
+
+def test_source_unread_prepends_not_appends():
+    """Unread bytes must come back BEFORE the remaining stream, not after
+    (time_seek_test.go:15-43 — the regression that motivated the test)."""
+    import io
+
+    from go_mp3_tpu.bitstream import Source
+
+    src = Source(io.BytesIO(b"cdef"))
+    first, _short = src.read_full(2)
+    assert first == b"cd"
+    src.unread(b"ab")
+    assert src.read_full(4)[0] == b"abef"
+
+
+def test_seek_to_time_no_duration_multiplication_bug(fixture_classic_lame):
+    """seek_to_time(1.0) must land at ~1 s, not 1 s squared/doubled
+    (time_seek_test.go:421-449, a historical fork bug)."""
+    d = Decoder(fixture_classic_lame)
+    d.seek_to_time(1.0)
+    assert abs(d.position() - 1.0) <= 0.030
+
+
+def test_seek_to_time_result_is_sample_aligned(fixture_classic_lame):
+    """Byte position after seek_to_time is 4-byte aligned (decode.go:337)."""
+    d = Decoder(fixture_classic_lame)
+    for t in (0.313, 1.7217, 4.99999):
+        d.seek_to_time(t)
+        assert d._pos % 4 == 0
+
+
+def test_skip_clamps_beyond_start_and_end(fixture_classic_lame):
+    """skip() clamps at stream boundaries (time_seek_test.go:515-574)."""
+    d = Decoder(fixture_classic_lame)
+    d.seek_to_time(1.0)
+    d.skip(-100.0)
+    assert d.position() == 0.0
+    d.skip(10_000.0)
+    assert abs(d.position() - d.duration()) < 0.05
+    assert d.read(4096) == b""  # at end
+
+
+def test_seek_with_trailing_tags():
+    """Seeking still works when trailing APE/ID3v1 junk follows the audio
+    (trailing_tags_test.go:309-372)."""
+    from util_synth import apev2_tag, id3v1_tag, silent_frame
+
+    audio = silent_frame() * 40
+    data = audio + apev2_tag(3) + id3v1_tag()
+    d = Decoder(data, backend="golden")
+    n = d.length()
+    assert n == 40 * 4608
+    d.seek(20 * 4608)
+    mid = d.read(4608)
+    assert len(mid) == 4608
+    d.seek(0)
+    total = d.read_all()
+    assert len(total) == n
