@@ -116,3 +116,13 @@ SF_BAND_INDICES = (
         ),
     ),
 )
+
+
+# ---------------------------------------------------------------------------
+# Packed device-interface layout constants — the single source of truth for
+# native/mp3parse.cpp emitters (via native/lib.py) and the device unpackers
+# (ops/granule.py). See native/lib.py for the field maps.
+# ---------------------------------------------------------------------------
+SIDE_WIDTH = 144  # int16 words per granule: 22 meta + 44 sfl + 78 sfs
+SIDE8_WIDTH = 168  # bytes per granule: 44 meta (LE i16) + 44 sfl + 78 sfs + 2
+ESC_SLOTS = 32  # int8-interface escape (line idx, delta) pairs per granule

@@ -17,16 +17,16 @@ import numpy as np
 _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "libmp3parse.so"
 
+from ..consts import ESC_SLOTS, SIDE8_WIDTH, SIDE_WIDTH  # single source
+
 META_WIDTH = 24
 # packed sidecar layout (must match mp3parse.cpp gmp_parse_packed emit):
 # one int16[SIDE_WIDTH] word vector per granule carrying all metadata +
 # scalefactors; words 0..21 mirror the META_* slots, then scalefactors.
-SIDE_WIDTH = 144
 SIDE_SFL = 22  # [2][22] long scalefactors at words 22..65
 SIDE_SFS = 66  # [2][39] short scalefactors at words 66..143
-# int8-quantized layout (gmp_parse_packed8): minimum-byte H2D interface
-SIDE8_WIDTH = 168  # bytes: [0:44] meta LE i16 words, [44:88] sfl, [88:166] sfs
-ESC_SLOTS = 32  # escape (line idx, delta) pairs per granule
+# int8-quantized layout (gmp_parse_packed8): bytes [0:44] meta LE i16 words,
+# [44:88] sfl, [88:166] sfs; ESC_SLOTS escape (line idx, delta) pairs
 # meta layout (must match mp3parse.cpp parse_frame emit)
 META_VARIANT = 0
 META_FLAGS = 1  # bit0 ms, bit1 intensity, bit2 mono
@@ -101,6 +101,8 @@ def _load():
     lib.gmp_packed8_overflow.argtypes = [ctypes.c_void_p]
     lib.gmp_create_stream.restype = ctypes.c_void_p
     lib.gmp_create_stream.argtypes = []
+    lib.gmp_terminal.restype = ctypes.c_int
+    lib.gmp_terminal.argtypes = [ctypes.c_void_p]
     lib.gmp_feed.argtypes = [
         ctypes.c_void_p,
         ctypes.c_char_p,
@@ -262,8 +264,14 @@ class NativeParser:
     ) -> int:
         """Parse granules into the int8-quantized layout (~56% the bytes of
         the int16 interface): spectra8 [cap,1152] i8, esc [cap,ESC_SLOTS,2]
-        i16, side8 [cap,SIDE8_WIDTH] u8. Raises if any granule overflowed
-        the escape slots (callers should then use parse_packed_into)."""
+        i16, side8 [cap,SIDE8_WIDTH] u8.
+
+        Raises OverflowError if any granule needed more escape slots than
+        ESC_SLOTS (never observed on real streams). The overflowed granules
+        were already consumed with CLIPPED values and this parser's position
+        has advanced past them, so recovery means re-parsing the stream from
+        the start with parse_packed_into (decode_corpus_fast does exactly
+        that); this parser should be discarded."""
         cap = spectra8.shape[0]
         assert spectra8.shape == (cap, 1152) and spectra8.dtype == np.int8
         assert esc.shape == (cap, ESC_SLOTS, 2) and esc.dtype == np.int16
@@ -342,7 +350,9 @@ class StreamingNativeParser(NativeParser):
 
     @property
     def eof(self) -> bool:
-        return self._eof
+        # terminal = the sync-search cap was hit with a full window: the
+        # stream is dead (reference semantics) and feeding more is pointless
+        return self._eof or bool(self._lib.gmp_terminal(self._p))
 
     def tell(self) -> int:
         """Global byte position across all fed chunks."""

@@ -484,6 +484,11 @@ struct Parser {
   bool streaming = false;
   bool fed_eof = false;
   bool tags_done = false;
+  bool terminal = false;   // sync-search cap hit with a full window: the
+                           // stream is dead (reference semantics) — stop
+                           // retrying/buffering on further feeds
+  int64_t tag_skip_left = 0;  // streaming: bytes of a leading tag still to
+                              // consume incrementally across feeds
   int64_t base_consumed = 0;
   std::vector<uint8_t> owned;
 
@@ -505,6 +510,10 @@ struct Parser {
   Parser() : data(nullptr), len(0), streaming(true) {}
 
   void feed(const uint8_t* d, int64_t n, bool eof) {
+    if (terminal) {  // dead stream: don't buffer further bytes
+      if (eof) fed_eof = true;
+      return;
+    }
     // compact: drop consumed bytes, then append
     if (pos > 0) {
       owned.erase(owned.begin(), owned.begin() + pos);
@@ -519,17 +528,22 @@ struct Parser {
 
   // Retry-safe tag skip for streaming mode: returns false when more bytes
   // are needed to make progress (same consumption rules as skip_tags once
-  // the data is available / eof is known).
+  // the data is available / eof is known). Large tags (ID3v2 can carry
+  // tens of MB of album art) are consumed INCREMENTALLY via tag_skip_left
+  // so the fed buffer compacts instead of accumulating the whole tag.
   bool skip_tags_streaming() {
     for (;;) {
+      if (tag_skip_left > 0) {
+        int64_t take = remaining() < tag_skip_left ? remaining()
+                                                   : tag_skip_left;
+        pos += take;
+        tag_skip_left -= take;
+        if (tag_skip_left > 0) return fed_eof;  // consume more next feed
+        continue;
+      }
       if (remaining() < 3) return fed_eof;  // can't identify a tag yet
       if (memcmp(data + pos, "TAG", 3) == 0) {
-        if (remaining() < 128) {
-          if (!fed_eof) return false;
-          pos = len;
-          return true;
-        }
-        pos += 128;
+        tag_skip_left = 128;
       } else if (memcmp(data + pos, "ID3", 3) == 0) {
         if (remaining() < 10) {
           if (!fed_eof) return false;
@@ -540,12 +554,7 @@ struct Parser {
                         (uint32_t(data[pos + 7]) << 14) |
                         (uint32_t(data[pos + 8]) << 7) |
                         uint32_t(data[pos + 9]);
-        if (remaining() < int64_t(10) + size) {
-          if (!fed_eof) return false;
-          pos = len;
-          return true;
-        }
-        pos += 10 + size;
+        tag_skip_left = int64_t(10) + size;
       } else {
         return true;
       }
@@ -586,7 +595,13 @@ struct Parser {
     int64_t p = pos + 4;
     Header hh{word};
     while (!hh.is_valid()) {
-      if (searched >= kMaxSyncSearchBytes) return END_OF_AUDIO;  // sync limit
+      if (searched >= kMaxSyncSearchBytes) {
+        // sync limit with a FULL search window available: terminal for the
+        // stream (frameheader.go:263 semantics) — streaming callers must
+        // not rewind-and-refeed this forever (unbounded buffering)
+        terminal = true;
+        return END_OF_AUDIO;
+      }
       if (p >= len) return END_OF_AUDIO;                         // UnexpectedEOF
       word = (word << 8) | data[p];
       hh.word = word;
@@ -1166,6 +1181,13 @@ void gmp_feed(void* pv, const uint8_t* data, int64_t len, int eof) {
   static_cast<Parser*>(pv)->feed(data, len, eof != 0);
 }
 
+// 1 when the stream can produce no more audio (sync-search cap hit):
+// streaming callers should stop feeding (further bytes would buffer
+// without bound while parses keep returning 0).
+int gmp_terminal(void* pv) {
+  return static_cast<Parser*>(pv)->terminal ? 1 : 0;
+}
+
 int gmp_sample_rate(void* p) { return static_cast<Parser*>(p)->sample_rate; }
 
 const char* gmp_error(void* p) { return static_cast<Parser*>(p)->error; }
@@ -1202,6 +1224,7 @@ void gmp_set_reservoir(void* pv, const uint8_t* data, int len) {
 // Streaming-mode helper: returns false when the parse loop should stop
 // because tags can't be skipped yet (need more fed bytes).
 static bool stream_ready(Parser* p) {
+  if (p->terminal) return false;  // sync-limit death: stop parsing/buffering
   if (!p->streaming || p->tags_done) return true;
   if (!p->skip_tags_streaming()) return false;
   p->tags_done = true;
@@ -1224,7 +1247,7 @@ int gmp_parse(void* pv, int cap, int16_t* spectra, int32_t* sfl, int32_t* sfs,
     if (st == gomp3::END_OF_AUDIO) {
       // in streaming mode a short read may become a full frame after the
       // next feed; rewind so the retry re-parses from the frame start
-      if (p->streaming && !p->fed_eof) p->pos = save_pos;
+      if (p->streaming && !p->fed_eof && !p->terminal) p->pos = save_pos;
       break;
     }
     if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
@@ -1259,7 +1282,7 @@ int gmp_parse_packed(void* pv, int cap, int16_t* spectra, int16_t* side) {
     if (st == gomp3::END_OF_AUDIO) {
       // in streaming mode a short read may become a full frame after the
       // next feed; rewind so the retry re-parses from the frame start
-      if (p->streaming && !p->fed_eof) p->pos = save_pos;
+      if (p->streaming && !p->fed_eof && !p->terminal) p->pos = save_pos;
       break;
     }
     if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
@@ -1300,8 +1323,10 @@ int gmp_parse_packed(void* pv, int cap, int16_t* spectra, int16_t* side) {
 //                             all non-negative), 44..87 = scalefac_l i8,
 //                             88..165 = scalefac_s i8, 166..167 pad
 // If a granule needs more than 32 escape slots (never observed on real
-// streams; pathological inputs only) a sticky overflow flag is set —
-// callers must then fall back to gmp_parse_packed. Returns granules
+// streams; pathological inputs only) a sticky overflow flag is set; the
+// overflowed granules were emitted with CLIPPED values and the position
+// has advanced past them, so callers must re-parse the stream from the
+// start with gmp_parse_packed and discard this parser. Returns granules
 // produced (0 = end of audio), or -1 on hard error.
 constexpr int kEscSlots = 32;
 
@@ -1320,7 +1345,7 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* spectra8, int16_t* esc,
     int64_t save_pos = p->pos;
     gomp3::Status st = p->parse_frame(sp, sfl, sfs, meta, &produced, &fpos);
     if (st == gomp3::END_OF_AUDIO) {
-      if (p->streaming && !p->fed_eof) p->pos = save_pos;
+      if (p->streaming && !p->fed_eof && !p->terminal) p->pos = save_pos;
       break;
     }
     if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;

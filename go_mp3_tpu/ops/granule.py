@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..consts import SAMPLES_PER_GR
+from ..consts import SAMPLES_PER_GR, SIDE_WIDTH  # noqa: re-export (layout contract)
 from . import tables as T
 
 _F32 = jnp.float32
@@ -378,9 +378,6 @@ def decode_chunk_impl(
 # native/mp3parse.cpp gmp_parse_packed (see native/lib.py SIDE_*).
 # ---------------------------------------------------------------------------
 
-SIDE_WIDTH = 144
-
-
 def _batch_from_side_words(spectra2: jax.Array, s: jax.Array) -> GranuleBatch:
     """spectra2 int16 [T, 1152] + side WORDS int32 [T, 144] -> GranuleBatch."""
     t_dim = spectra2.shape[0]
@@ -404,6 +401,7 @@ def _batch_from_side_words(spectra2: jax.Array, s: jax.Array) -> GranuleBatch:
 
 def batch_from_packed(spectra2: jax.Array, side: jax.Array) -> GranuleBatch:
     """spectra2 int16 [T, 1152], side int16 [T, SIDE_WIDTH] -> GranuleBatch."""
+    assert side.shape[-1] == SIDE_WIDTH, side.shape
     return _batch_from_side_words(spectra2, side.astype(jnp.int32))
 
 

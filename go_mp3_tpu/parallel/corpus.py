@@ -75,7 +75,7 @@ def decode_corpus_fast(
     import jax
     import jax.numpy as jnp
 
-    from ..native.lib import ESC_SLOTS, SIDE8_WIDTH, NativeParser
+    from ..native.lib import ESC_SLOTS, SIDE8_WIDTH, SIDE_WIDTH, NativeParser
     from ..ops.granule import decode_chunk_packed8_impl, decode_chunk_packed_impl
 
     n_streams = len(stream_bytes)
@@ -84,11 +84,13 @@ def decode_corpus_fast(
 
     def parse_all(int8: bool):
         parsers = [NativeParser(d) for d in stream_bytes]
-        sp8 = np.empty((n_streams, chunk_t, 1152), np.int8)
-        esc = np.empty((n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
-        side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
-        sp16 = np.empty((n_streams, chunk_t, 1152), np.int16)
-        side16 = np.empty((n_streams, chunk_t, 144), np.int16)
+        if int8:
+            sp8 = np.empty((n_streams, chunk_t, 1152), np.int8)
+            esc = np.empty((n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
+            side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
+        else:
+            sp16 = np.empty((n_streams, chunk_t, 1152), np.int16)
+            side16 = np.empty((n_streams, chunk_t, SIDE_WIDTH), np.int16)
         sp_chunks, aux_chunks, valid_rows = [], [], []
         try:
             while True:

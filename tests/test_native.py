@@ -328,3 +328,72 @@ def test_streaming_parser_split_feeds_match(fixture_mpeg2):
         s.close()
         allsp = np.concatenate(got)
         assert np.array_equal(allsp, ref[0]), chunk
+
+
+def test_streaming_sync_limit_is_terminal_bounded_memory():
+    """A >=64 KiB un-syncable run in a fed stream must kill the parse
+    (reference sync-limit semantics) WITHOUT the parser buffering the rest
+    of the stream forever: eof turns True and further feeds are dropped."""
+    from go_mp3_tpu.native.lib import META_WIDTH, StreamingNativeParser
+
+    good = open("/root/reference/example/classic_lame.mp3", "rb").read()[:4000]
+    s = StreamingNativeParser()
+    s.feed(good)
+    sp = np.zeros((64, 2, 576), np.int16)
+    sl = np.zeros((64, 2, 22), np.int32)
+    ss = np.zeros((64, 2, 39), np.int32)
+    me = np.zeros((64, META_WIDTH), np.int32)
+    got = 0
+    while True:
+        n = s.parse_into(sp, sl, ss, me)
+        if n == 0:
+            break
+        got += n
+    assert got > 0
+    # now feed > 64 KiB of un-syncable garbage in pieces
+    junk = b"\x00" * 8192
+    fed = 0
+    while not s.eof and fed < 40:
+        s.feed(junk)
+        s.parse_into(sp, sl, ss, me)
+        fed += 1
+    assert s.eof, "sync-limit must terminate the stream"
+    assert fed <= 12, f"should die within ~64KiB of junk, took {fed} feeds"
+    # further feeds must be no-ops (no unbounded buffering) and parses 0
+    for _ in range(3):
+        s.feed(junk)
+        assert s.parse_into(sp, sl, ss, me) == 0
+    s.close()
+
+
+def test_streaming_giant_id3_tag_skipped_incrementally():
+    """A multi-MB leading ID3v2 tag fed in small pieces is consumed
+    incrementally (the buffer compacts instead of accumulating the tag)."""
+    from go_mp3_tpu.native.lib import META_WIDTH, StreamingNativeParser
+
+    audio = open("/root/reference/example/classic_lame.mp3", "rb").read()
+    size = 5_000_000
+    hdr = b"ID3\x04\x00\x00" + bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F,
+         size & 0x7F]
+    )
+    s = StreamingNativeParser()
+    s.feed(hdr)
+    sp = np.zeros((64, 2, 576), np.int16)
+    sl = np.zeros((64, 2, 22), np.int32)
+    ss = np.zeros((64, 2, 39), np.int32)
+    me = np.zeros((64, META_WIDTH), np.int32)
+    assert s.parse_into(sp, sl, ss, me) == 0
+    # feed the tag body in 64 KiB pieces; position must ADVANCE through it
+    piece = b"\x00" * 65536
+    fed = 0
+    while fed < size:
+        s.feed(piece[: min(65536, size - fed)])
+        fed += min(65536, size - fed)
+        s.parse_into(sp, sl, ss, me)
+    pos_after_tag = s.tell()
+    assert pos_after_tag >= size, "tag must be consumed incrementally"
+    s.feed(audio, eof=True)
+    n = s.parse_into(sp, sl, ss, me)
+    assert n > 0, "audio after the giant tag must decode"
+    s.close()

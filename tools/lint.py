@@ -7,10 +7,10 @@ not just a syntax check. Rules:
 
   F401  unused import
   E722  bare `except:`
-  B006  mutable default argument
+  B006  mutable default argument (literal or dict()/list()/set() call)
   E711  comparison to None/True/False with ==/!=
   F811  redefinition of a top-level name in the same scope
-  F632  f-string without any placeholder
+  F541  f-string without any placeholder
 
 A line containing `noqa` suppresses findings on that line.
 Exit status 1 if any finding; prints file:line: code message.
@@ -25,9 +25,6 @@ import sys
 ROOT = pathlib.Path(__file__).resolve().parent.parent
 TARGETS = ["go_mp3_tpu", "tests", "tools", "bench.py", "__graft_entry__.py",
            "example"]
-
-MUTABLE = (ast.List, ast.Dict, ast.Set, ast.Call)
-
 
 def iter_files():
     for t in TARGETS:
@@ -85,7 +82,12 @@ class Checker(ast.NodeVisitor):
         for d in list(node.args.defaults) + list(node.args.kw_defaults):
             if d is None:
                 continue
-            if isinstance(d, (ast.List, ast.Dict, ast.Set)):
+            mutable = isinstance(d, (ast.List, ast.Dict, ast.Set)) or (
+                isinstance(d, ast.Call)
+                and isinstance(d.func, ast.Name)
+                and d.func.id in ("dict", "list", "set", "bytearray")
+            )
+            if mutable:
                 self.add(d.lineno, "B006", "mutable default argument")
 
     def visit_FunctionDef(self, node: ast.FunctionDef) -> None:
@@ -109,9 +111,9 @@ class Checker(ast.NodeVisitor):
 
     def visit_JoinedStr(self, node: ast.JoinedStr) -> None:
         if not any(isinstance(v, ast.FormattedValue) for v in node.values):
-            self.add(node.lineno, "F632", "f-string without placeholders")
+            self.add(node.lineno, "F541", "f-string without placeholders")
         # visit placeholder expressions but NOT format specs (format specs
-        # are themselves JoinedStr nodes and would false-positive F632)
+        # are themselves JoinedStr nodes and would false-positive F541)
         for v in node.values:
             if isinstance(v, ast.FormattedValue):
                 self.visit(v.value)
