@@ -52,6 +52,7 @@ def decode_corpus_fast(
     stream_bytes: list[bytes],
     chunk_t: int = 256,
     fetch: bool = True,
+    mesh=None,
 ):
     """High-throughput corpus decode: the production pipeline.
 
@@ -71,6 +72,11 @@ def decode_corpus_fast(
 
     Falls back to the int16 packed interface if a (pathological) stream
     overflows the int8 escape slots.
+
+    Pass a jax.sharding.Mesh (1-D, axis 'streams' — see mesh.make_mesh) to
+    shard the stream axis across chips: streams are independent, so the
+    whole scan partitions with zero cross-device communication. len(streams)
+    must then divide evenly by the mesh size.
     """
     import jax
     import jax.numpy as jnp
@@ -81,6 +87,19 @@ def decode_corpus_fast(
     n_streams = len(stream_bytes)
     if n_streams == 0:
         return CorpusResult(pcm=[], granules=0, samples=0)
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .mesh import STREAM_AXIS
+
+        def put_streamwise(a, axis):
+            spec = [None] * a.ndim
+            spec[axis] = STREAM_AXIS
+            return jax.device_put(a, NamedSharding(mesh, P(*spec)))
+    else:
+        def put_streamwise(a, axis):
+            return jax.device_put(a)
 
     def parse_all(int8: bool):
         parsers = [NativeParser(d) for d in stream_bytes]
@@ -114,7 +133,9 @@ def decode_corpus_fast(
                 sp = sp8 if int8 else sp16
                 # line-major for the transfer; re-transposed on device
                 sp_chunks.append(
-                    jax.device_put(np.ascontiguousarray(sp.transpose(0, 2, 1)))
+                    put_streamwise(
+                        np.ascontiguousarray(sp.transpose(0, 2, 1)), 0
+                    )
                 )
                 aux_chunks.append(
                     (esc.copy(), side.copy()) if int8 else (side16.copy(),)
@@ -137,17 +158,19 @@ def decode_corpus_fast(
 
     valids = np.stack(valid_rows)  # [C, S]
     states = init_states(n_streams)
+    if mesh is not None:
+        states = jax.tree_util.tree_map(lambda a: put_streamwise(a, 0), states)
 
     if int8:
         chunk_impl = decode_chunk_packed8_impl
         aux_all = tuple(
-            jax.device_put(np.stack([a[i] for a in aux_chunks]))
+            put_streamwise(np.stack([a[i] for a in aux_chunks]), 1)
             for i in range(2)
         )
     else:
         chunk_impl = decode_chunk_packed_impl
         aux_all = (
-            jax.device_put(np.stack([a[0] for a in aux_chunks])),
+            put_streamwise(np.stack([a[0] for a in aux_chunks]), 1),
         )
     batched = jax.vmap(chunk_impl)
 

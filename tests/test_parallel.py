@@ -90,3 +90,16 @@ def test_decode_corpus_fast_device_resident(fixture_classic_lame):
     assert pcms.shape[2] == 64 * 576
     assert valids[0, 0] == 64  # full first chunk for the full stream
     assert (np.asarray(valids) >= 0).all()
+
+
+def test_decode_corpus_fast_sharded_matches_unsharded(fixture_classic_lame):
+    """decode_corpus_fast over an 8-device mesh == single-device output."""
+    import jax
+
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+    from go_mp3_tpu.parallel.mesh import make_mesh
+
+    streams = [fixture_classic_lame[:30_000]] * len(jax.devices())
+    ref = decode_corpus_fast(streams, chunk_t=32)
+    sharded = decode_corpus_fast(streams, chunk_t=32, mesh=make_mesh())
+    assert sharded.pcm == ref.pcm
