@@ -269,7 +269,7 @@ def main() -> None:
     chunk_audio = sum(chunk_t * SAMPLES_PER_GR / sr for sr in sr_by_stream)
     log(
         f"probe per chunk ({chunk_audio:.0f}s audio): parse {probe_parse:.3f}s, "
-        f"upload {probe_upload:.3f}s (post-load, degraded-session rate), "
+        f"upload {probe_upload:.3f}s (fetch-fenced), "
         f"dispatch+compute {probe_compute:.3f}s"
     )
     # validation probe past the (silent) Xing header frame
