@@ -3,8 +3,8 @@
 
 PY ?= python
 
-.PHONY: all check fmt lint test coverage bench bench-save bench-compare \
-        profile native gen clean
+.PHONY: all check fmt lint test coverage bench bench-single bench-save \
+        bench-compare profile native gen clean
 
 all: check
 
@@ -37,6 +37,11 @@ gen:
 
 bench:
 	$(PY) bench.py
+
+# the reference's own harness metric (bench_test.go): MB/s of compressed
+# input, single stream, per backend
+bench-single:
+	JAX_PLATFORMS=cpu $(PY) tools/bench_single.py
 
 # benchstat-like baseline workflow
 bench-save:
