@@ -15,6 +15,11 @@
 #include <cstdint>
 #include <cstring>
 
+#if defined(__SSE2__) || defined(_M_X64)
+#include <emmintrin.h>
+#define GOMP3_DSP_SSE2 1
+#endif
+
 namespace gomp3 {
 
 constexpr int kSamplesPerGr = 576;
@@ -76,6 +81,7 @@ struct DspTables {
   float cos_n12[6][12];
   float cos_n36[18][36];
   float synth_nwin[64][32];
+  float synth_nwin_t[32][64];  // transposed copy for the vectorized matrixing
   float synth_dtbl[512];
   // per (lsf, sfreq): composed requantize band maps over post-reorder layout
   int16_t req_long_sfb[2][3][kSamplesPerGr];
@@ -135,6 +141,8 @@ DspTables::DspTables() {
   for (int i = 0; i < 64; i++)
     for (int j = 0; j < 32; j++)
       synth_nwin[i][j] = float(std::cos(double((16 + i) * (2 * j + 1)) * (pi / 64.0)));
+  for (int i = 0; i < 64; i++)
+    for (int j = 0; j < 32; j++) synth_nwin_t[j][i] = synth_nwin[i][j];
   for (int i = 0; i < 512; i++)
     synth_dtbl[i] = float(double(kSynthDNumerators[i]) / 65536.0);
 
@@ -291,6 +299,51 @@ static void antialias(float* x, int cls) {
 static void imdct_win(const float* in, int bt, float* out36) {
   const DspTables& t = tables();
   memset(out36, 0, 36 * sizeof(float));
+#ifdef GOMP3_DSP_SSE2
+  // Vectorized ACROSS output points: each point's adds stay in the
+  // reference's m-ascending order, with explicit mul-then-add (never
+  // FMA-contracted) — bit-identical to the scalar loops per output.
+  if (bt == 2) {
+    for (int i = 0; i < 3; i++) {
+      __m128 a0 = _mm_setzero_ps(), a1 = _mm_setzero_ps(),
+             a2 = _mm_setzero_ps();
+      for (int m = 0; m < 6; m++) {
+        __m128 im = _mm_set1_ps(in[i + 3 * m]);
+        const float* c = t.cos_n12[m];
+        a0 = _mm_add_ps(a0, _mm_mul_ps(im, _mm_loadu_ps(c)));
+        a1 = _mm_add_ps(a1, _mm_mul_ps(im, _mm_loadu_ps(c + 4)));
+        a2 = _mm_add_ps(a2, _mm_mul_ps(im, _mm_loadu_ps(c + 8)));
+      }
+      float* o = out36 + 6 * i + 6;
+      const float* w = t.imdct_win[2];
+      __m128 r0 = _mm_add_ps(_mm_loadu_ps(o),
+                             _mm_mul_ps(a0, _mm_loadu_ps(w)));
+      __m128 r1 = _mm_add_ps(_mm_loadu_ps(o + 4),
+                             _mm_mul_ps(a1, _mm_loadu_ps(w + 4)));
+      __m128 r2 = _mm_add_ps(_mm_loadu_ps(o + 8),
+                             _mm_mul_ps(a2, _mm_loadu_ps(w + 8)));
+      _mm_storeu_ps(o, r0);
+      _mm_storeu_ps(o + 4, r1);
+      _mm_storeu_ps(o + 8, r2);
+    }
+    return;
+  }
+  for (int p = 0; p < 36; p += 12) {
+    __m128 a0 = _mm_setzero_ps(), a1 = _mm_setzero_ps(),
+           a2 = _mm_setzero_ps();
+    for (int m = 0; m < 18; m++) {
+      __m128 im = _mm_set1_ps(in[m]);
+      const float* c = &t.cos_n36[m][p];
+      a0 = _mm_add_ps(a0, _mm_mul_ps(im, _mm_loadu_ps(c)));
+      a1 = _mm_add_ps(a1, _mm_mul_ps(im, _mm_loadu_ps(c + 4)));
+      a2 = _mm_add_ps(a2, _mm_mul_ps(im, _mm_loadu_ps(c + 8)));
+    }
+    const float* w = &t.imdct_win[bt][p];
+    _mm_storeu_ps(out36 + p, _mm_mul_ps(a0, _mm_loadu_ps(w)));
+    _mm_storeu_ps(out36 + p + 4, _mm_mul_ps(a1, _mm_loadu_ps(w + 4)));
+    _mm_storeu_ps(out36 + p + 8, _mm_mul_ps(a2, _mm_loadu_ps(w + 8)));
+  }
+#else
   if (bt == 2) {
     for (int i = 0; i < 3; i++) {
       for (int p = 0; p < 12; p++) {
@@ -306,6 +359,7 @@ static void imdct_win(const float* in, int bt, float* out36) {
     for (int m = 0; m < 18; m++) sum += in[m] * t.cos_n36[m][p];
     out36[p] = sum * t.imdct_win[bt][p];
   }
+#endif
 }
 
 static void hybrid_and_freqinv(float* x, DspState* st, int ch, int cls,
@@ -333,20 +387,56 @@ static void subband_synth(const float* x, DspState* st, int ch, int nch,
   for (int ss = 0; ss < 18; ss++) {
     memmove(v + 64, v, (1024 - 64) * sizeof(float));
     for (int i = 0; i < 32; i++) s[i] = x[i * 18 + ss];
+#ifdef GOMP3_DSP_SSE2
+    // Vectorized ACROSS outputs: each lane's adds stay in the reference's
+    // j = 0..31 order, and explicit mul-then-add intrinsics can never be
+    // contracted into FMA — bit-identical to the scalar loop per output.
+    for (int i = 0; i < 64; i += 16) {
+      __m128 v0 = _mm_setzero_ps(), v1 = _mm_setzero_ps();
+      __m128 v2 = _mm_setzero_ps(), v3 = _mm_setzero_ps();
+      for (int j = 0; j < 32; j++) {
+        __m128 sj = _mm_set1_ps(s[j]);
+        const float* w = &t.synth_nwin_t[j][i];
+        v0 = _mm_add_ps(v0, _mm_mul_ps(_mm_loadu_ps(w), sj));
+        v1 = _mm_add_ps(v1, _mm_mul_ps(_mm_loadu_ps(w + 4), sj));
+        v2 = _mm_add_ps(v2, _mm_mul_ps(_mm_loadu_ps(w + 8), sj));
+        v3 = _mm_add_ps(v3, _mm_mul_ps(_mm_loadu_ps(w + 12), sj));
+      }
+      _mm_storeu_ps(v + i, v0);
+      _mm_storeu_ps(v + i + 4, v1);
+      _mm_storeu_ps(v + i + 8, v2);
+      _mm_storeu_ps(v + i + 12, v3);
+    }
+#else
     for (int i = 0; i < 64; i++) {
       float sum = 0.0f;
       for (int j = 0; j < 32; j++) sum += t.synth_nwin[i][j] * s[j];
       v[i] = sum;
     }
+#endif
     for (int i = 0; i < 512; i += 64) {
       memcpy(u + i, v + (i << 1), 32 * sizeof(float));
       memcpy(u + i + 32, v + (i << 1) + 96, 32 * sizeof(float));
     }
     for (int i = 0; i < 512; i++) u[i] *= t.synth_dtbl[i];
+#ifdef GOMP3_DSP_SSE2
+    // 16-tap window sums, vectorized across the 32 outputs (per-output add
+    // order preserved: j ascending, exactly as the scalar loop)
+    float sums[32];
+    for (int i = 0; i < 32; i += 4) {
+      __m128 acc = _mm_setzero_ps();
+      for (int j = 0; j < 512; j += 32)
+        acc = _mm_add_ps(acc, _mm_loadu_ps(u + j + i));
+      _mm_storeu_ps(sums + i, acc);
+    }
+    for (int i = 0; i < 32; i++) {
+      int samp = int(sums[i] * 32767.0f);
+#else
     for (int i = 0; i < 32; i++) {
       float sum = 0.0f;
       for (int j = 0; j < 512; j += 32) sum += u[j + i];
       int samp = int(sum * 32767.0f);
+#endif
       if (samp > 32767) samp = 32767;
       if (samp < -32767) samp = -32767;
       int16_t sv = int16_t(samp);
