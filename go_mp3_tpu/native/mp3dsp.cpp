@@ -206,20 +206,25 @@ static void requantize(const int16_t* spectra, const int32_t* sfl,
   const int16_t* ssfb = t.req_short_sfb[lsf][sfreq];
   const int16_t* swin = t.req_short_win[lsf][sfreq];
 
+  // exp2(idx) depends only on the band (and window), not the line: hoist
+  // the ~460 per-line exp2 calls to <=61 per-band ones. Identical doubles,
+  // identical products — bit-exact with the per-line form.
+  double t1l[22], t1s[39];
+  for (int b = 0; b < 22; b++)
+    t1l[b] = std::exp2(
+        -(sf_mult * (double(sfl[ch * 22 + b]) + pre * t.pretab[b])) + gg);
+  for (int b = 0; b < 13; b++)
+    for (int w = 0; w < 3; w++)
+      t1s[b * 3 + w] = std::exp2(
+          -(sf_mult * double(sfs[ch * 39 + b * 3 + w])) + gg -
+          0.25 * 8.0 * double(meta[M_SBG + ch * 3 + w]));
+
   for (int l = 0; l < kSamplesPerGr; l++) {
     int32_t raw = spectra[l];
     if (raw == 0) { out[l] = 0.0f; continue; }
-    double idx;
     bool is_long = cls == CLS_LONG || (cls == CLS_MIXED && l < 36);
-    if (is_long) {
-      int b = lsfb[l];
-      idx = -(sf_mult * (double(sfl[ch * 22 + b]) + pre * t.pretab[b])) + gg;
-    } else {
-      int b = ssfb[l], w = swin[l];
-      idx = -(sf_mult * double(sfs[ch * 39 + b * 3 + w])) + gg -
-            0.25 * 8.0 * double(meta[M_SBG + ch * 3 + w]);
-    }
-    double tmp1 = std::exp2(idx);
+    double tmp1 =
+        is_long ? t1l[lsfb[l]] : t1s[ssfb[l] * 3 + swin[l]];
     double tmp2 = raw < 0 ? -t.pow43[-raw] : t.pow43[raw];
     out[l] = float(tmp1 * tmp2);
   }
@@ -382,10 +387,16 @@ static void hybrid_and_freqinv(float* x, DspState* st, int ch, int cls,
 static void subband_synth(const float* x, DspState* st, int ch, int nch,
                           int16_t* pcm_lr /* interleaved stereo */) {
   const DspTables& t = tables();
-  float* v = st->v_vec[ch];
+  // Sliding scratch instead of the reference's per-step 960-float memmove
+  // (~106 MB of copying per decoded file): step ss's logical v-vector is
+  // the contiguous window sw[(17-ss)*64 .. +1024), new blocks are written
+  // leftward, and the state round-trips once per granule. Pure data
+  // movement — bit-exact by construction.
+  float sw[18 * 64 + 1024];
+  memcpy(sw + 18 * 64, st->v_vec[ch], 1024 * sizeof(float));
   float u[512], s[32];
   for (int ss = 0; ss < 18; ss++) {
-    memmove(v + 64, v, (1024 - 64) * sizeof(float));
+    float* v = sw + (17 - ss) * 64;
     for (int i = 0; i < 32; i++) s[i] = x[i * 18 + ss];
 #ifdef GOMP3_DSP_SSE2
     // Vectorized ACROSS outputs: each lane's adds stay in the reference's
@@ -449,6 +460,7 @@ static void subband_synth(const float* x, DspState* st, int ch, int nch,
       }
     }
   }
+  memcpy(st->v_vec[ch], sw, 1024 * sizeof(float));
 }
 
 }  // namespace gomp3
