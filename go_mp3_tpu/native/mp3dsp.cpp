@@ -73,6 +73,10 @@ const int kBandShort2[2][3][14] = {
 
 struct DspTables {
   double pow43[8207];
+  // exp2 of quarter-integers: every requantize exponent is an exact
+  // multiple of 0.25 in a bounded range, so exp2q[k+400] == std::exp2(k/4)
+  // bit-for-bit (same library call on the same input, made at init)
+  double exp2q[501];
   double pretab[22] = {0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
                        1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0};
   float is_ratio_l[7], is_ratio_r[7];
@@ -98,6 +102,7 @@ extern const int32_t kSynthDNumerators[512];
 
 DspTables::DspTables() {
   for (int i = 0; i < 8207; i++) pow43[i] = std::pow(double(i), 4.0 / 3.0);
+  for (int k = -400; k <= 100; k++) exp2q[k + 400] = std::exp2(k * 0.25);
   static const float isr[6] = {0.000000f, 0.267949f, 0.577350f,
                                1.000000f, 1.732051f, 3.732051f};
   for (int k = 0; k < 6; k++) {
@@ -194,6 +199,13 @@ struct DspState {
 // Granule chain (float32 discipline identical to the reference)
 // ---------------------------------------------------------------------------
 
+static inline double exp2_quarter(const DspTables& t, double e) {
+  double q = e * 4.0;
+  int k = int(q);
+  if (double(k) == q && k >= -400 && k <= 100) return t.exp2q[k + 400];
+  return std::exp2(e);  // out-of-range/non-quarter safety net
+}
+
 static void requantize(const int16_t* spectra, const int32_t* sfl,
                        const int32_t* sfs, const int32_t* meta, int ch,
                        int lsf, int sfreq, float* out) {
@@ -211,13 +223,13 @@ static void requantize(const int16_t* spectra, const int32_t* sfl,
   // identical products — bit-exact with the per-line form.
   double t1l[22], t1s[39];
   for (int b = 0; b < 22; b++)
-    t1l[b] = std::exp2(
-        -(sf_mult * (double(sfl[ch * 22 + b]) + pre * t.pretab[b])) + gg);
+    t1l[b] = exp2_quarter(
+        t, -(sf_mult * (double(sfl[ch * 22 + b]) + pre * t.pretab[b])) + gg);
   for (int b = 0; b < 13; b++)
     for (int w = 0; w < 3; w++)
-      t1s[b * 3 + w] = std::exp2(
-          -(sf_mult * double(sfs[ch * 39 + b * 3 + w])) + gg -
-          0.25 * 8.0 * double(meta[M_SBG + ch * 3 + w]));
+      t1s[b * 3 + w] = exp2_quarter(
+          t, -(sf_mult * double(sfs[ch * 39 + b * 3 + w])) + gg -
+                 0.25 * 8.0 * double(meta[M_SBG + ch * 3 + w]));
 
   for (int l = 0; l < kSamplesPerGr; l++) {
     int32_t raw = spectra[l];
