@@ -197,7 +197,7 @@ def main() -> None:
     sd_all = np.empty((n_chunks, n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
     runs = []
     en = None
-    for rep in range(6):
+    for rep in range(4):
         states = init_states(n_streams)
         t_start = time.perf_counter()
         parsers = [NativeParser(d) for d in stream_data]
@@ -229,9 +229,12 @@ def main() -> None:
         runs.append((total_wall, parse_wall))
         log(f"run {rep}: wall {total_wall:.3f}s (parse {parse_wall:.3f}s inside)")
         # the shared link/host swing minute-to-minute; stop early once a
-        # run is clearly unthrottled, keep sampling (up to 6) otherwise
-        if total_wall < 3.5 and rep >= 1:
+        # run is clearly unthrottled — repeats against a drained link only
+        # get monotonically worse (observed), so don't oversample
+        if total_wall < 5.0 and rep >= 1:
             break
+        if len(runs) >= 2 and runs[-1][0] > runs[-2][0] > min(runs)[0] * 1.5:
+            break  # link is draining: further repeats cannot beat the min
     total_wall, parse_wall = min(runs)
 
     # [C, S] — decoded audio must be non-silent
