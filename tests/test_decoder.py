@@ -321,3 +321,13 @@ def test_seek_with_trailing_tags():
     d.seek(0)
     total = d.read_all()
     assert len(total) == n
+
+
+def test_python_parse_device_path_matches_native(fixture_classic_lame):
+    """backend='device' with use_native=False (pure-Python parse feeding the
+    batched device DSP) produces byte-identical PCM to the native-parse
+    device path — the two host parsers and the two staging pipelines agree
+    end to end."""
+    a = Decoder(fixture_classic_lame, backend="device", use_native=False)
+    b = Decoder(fixture_classic_lame, backend="device")
+    assert a.read_all() == b.read_all()
