@@ -103,3 +103,20 @@ def test_decode_corpus_fast_sharded_matches_unsharded(fixture_classic_lame):
     ref = decode_corpus_fast(streams, chunk_t=32)
     sharded = decode_corpus_fast(streams, chunk_t=32, mesh=make_mesh())
     assert sharded.pcm == ref.pcm
+
+
+def test_decode_corpus_fast_escape_overflow_fallback():
+    """A stream whose granules exceed the int8 interface's 32 escape slots
+    (40 lines with |x| > 127 per granule, hand-built via Huffman table 23
+    linbits escapes) must fall back to the int16 packed interface and still
+    produce byte-identical PCM to the per-stream device Decoder."""
+    from util_synth import escape_heavy_frame
+
+    from go_mp3_tpu import Decoder
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    data = escape_heavy_frame() * 3
+    result = decode_corpus_fast([data], chunk_t=16)
+    ref = Decoder(data, backend="device").read_all()
+    assert result.pcm[0] == ref
+    assert result.granules == 6

@@ -89,3 +89,78 @@ def apev2_tag(n_items: int = 1) -> bytes:
             + bytes(8)
         )
     return block(0xA0000000) + items + block(0x80000000)
+
+
+class _BitWriter:
+    """MSB-first bit packer for hand-built frames."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def write(self, value: int, n: int) -> None:
+        for k in range(n - 1, -1, -1):
+            self.bits.append((value >> k) & 1)
+
+    def tobytes(self, pad_to: int | None = None) -> bytes:
+        bits = list(self.bits)
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        if pad_to is not None:
+            out.extend(b"\x00" * (pad_to - len(out)))
+        return bytes(out)
+
+
+def escape_heavy_frame(n_pairs: int = 20, linbit_value: int = 4000) -> bytes:
+    """A valid MONO MPEG-1 Layer III frame whose two granules each carry
+    `n_pairs` big-value pairs of (15+linbit, 15+linbit) via Huffman table 23
+    (linbits 13) — every coded line has |x| > 127, far past the int8
+    interface's 32 escape slots. Exercises the packed8 overflow fallback."""
+    from go_mp3_tpu.bitstream.huffman_tables import TABLES
+
+    book, linbits = TABLES[23]
+    entry = next(e for e in book if e[2] == 15 and e[3] == 15)
+    length, code = entry[0], entry[1]
+    pair_bits = length + 2 * (linbits + 1)
+    p23 = n_pairs * pair_bits  # no scalefactor bits (scalefac_compress=0)
+
+    # side info: mono MPEG-1, 17 bytes
+    si = _BitWriter()
+    si.write(0, 9)  # main_data_begin
+    si.write(0, 5)  # private
+    si.write(0, 4)  # scfsi
+    for _gr in range(2):
+        si.write(p23, 12)  # part2_3_length
+        si.write(n_pairs, 9)  # big_values
+        si.write(210, 8)  # global_gain
+        si.write(0, 4)  # scalefac_compress -> slen 0/0
+        si.write(0, 1)  # window_switching
+        si.write(23, 5)  # table_select region0
+        si.write(0, 5)  # region1 table (unused: zeros)
+        si.write(0, 5)  # region2 table
+        si.write(8, 4)  # region0_count -> bands[9]=44 >= 2*n_pairs
+        si.write(3, 3)  # region1_count
+        si.write(0, 1)  # preflag
+        si.write(0, 1)  # scalefac_scale
+        si.write(0, 1)  # count1 table
+    side = si.tobytes()
+    assert len(side) == 17, len(side)
+
+    md = _BitWriter()
+    for _gr in range(2):
+        for _p in range(n_pairs):
+            md.write(code, length)
+            md.write(linbit_value, linbits)  # x linbits
+            md.write(0, 1)  # x sign +
+            md.write(linbit_value, linbits)  # y linbits
+            md.write(0, 1)  # y sign +
+
+    word = mpeg1_layer3_header(mode=3)  # mono
+    size = (144 * 128000) // 44100  # 417
+    main = md.tobytes(pad_to=size - 4 - 17)
+    return word.to_bytes(4, "big") + side + main
