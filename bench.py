@@ -16,7 +16,9 @@ timed region ends at an actual FETCH of the (tiny) energies output — the
 only proof the transfers and the computation really finished. The wire
 behind the relay runs ~50-110 MB/s true H2D (content-dependent — it
 compresses) and both it and the shared single-core host swing
-minute-to-minute, so the run repeats 3x and the minimum is reported.
+minute-to-minute, so the run repeats (up to 4x, stopping early when a
+run is clearly unthrottled or the link is visibly draining) and the
+minimum is reported.
 
 Corpus: 48 streams of classic_lame.mp3 x4 (MPEG-1 44.1 kHz stereo VBR) +
 16 streams of mpeg2.mp3 (MPEG-2 22.05 kHz mono speech) — mixed variants,
@@ -144,26 +146,6 @@ def main() -> None:
         )
         for _ in range(n_chunks)
     ]
-
-    def parse_corpus():
-        """Parse all chunks into the host buffer pool (pure host phase — no
-        transfer threads competing for the single core). Returns
-        (host_chunks, valids)."""
-        parsers = [NativeParser(d) for d in stream_data]
-        valids = np.zeros((n_chunks, n_streams), np.int32)
-        for c, (spectra, esc, side) in enumerate(pool):
-            # the parser writes every byte of the rows it fills; only rows
-            # past `valid` (ragged tails) need explicit zeroing
-            for s, p in enumerate(parsers):
-                n = p.parse_packed8_into(spectra[s], esc[s], side[s])
-                valids[c, s] = n
-                if n < chunk_t:
-                    spectra[s, n:] = 0
-                    esc[s, n:] = 0
-                    side[s, n:] = 0
-        for p in parsers:
-            p.close()
-        return pool, valids
 
     # --- untimed: AOT-compile + load the corpus program ---------------------
     # (legitimately one-time: a fleet reuses the loaded program per corpus;
