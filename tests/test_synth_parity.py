@@ -87,7 +87,7 @@ for lsf, sfreq in ((0, 0), (0, 1), (0, 2), (1, 0), (1, 1), (1, 2)):
             CASES.append((lsf, sfreq, mode, mode_ext, block_spec))
 
 
-@pytest.mark.parametrize("seed", [1, 2])
+@pytest.mark.parametrize("seed", [1, 2, 3, 12])
 def test_three_way_parity(seed):
     # One synthetic stream per case, 3 frames each (state carry within the
     # stream). Channel mode and sample rate stay constant within a stream,
@@ -120,14 +120,15 @@ def test_three_way_parity(seed):
     # arithmetic differs from the float64 golden by several LSB (measured:
     # the C++ exact path, which replicates the reference bit-for-bit, shows
     # the same spread) — cancellation in the IMDCT/polyphase sums amplifies
-    # f32 rounding. Bounds here are therefore RMS (the ISO-style metric)
-    # plus a loose maxdiff; the strict <=2 LSB gate lives in
-    # test_dsp_parity.py over real streams.
+    # f32 rounding. Bounds here are therefore RMS (the ISO-style metric,
+    # which stays inside full compliance on every surveyed seed) plus a
+    # loose maxdiff calibrated over 24 seeds (observed max 66, seed 12);
+    # the strict <=2 LSB gate lives in test_dsp_parity.py over real streams.
     def check(x, y, label):
         d = np.abs(x - y)
         rms = float(np.sqrt(((x - y).astype(np.float64) ** 2).mean()))
         assert rms < 0.289, f"{label} rms {rms}"
-        assert d.max() <= 64, f"{label} maxdiff {d.max()}"
+        assert d.max() <= 96, f"{label} maxdiff {d.max()}"
 
     check(a, b, "jax vs golden")
 
