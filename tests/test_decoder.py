@@ -331,3 +331,36 @@ def test_python_parse_device_path_matches_native(fixture_classic_lame):
     a = Decoder(fixture_classic_lame, backend="device", use_native=False)
     b = Decoder(fixture_classic_lame, backend="device")
     assert a.read_all() == b.read_all()
+
+
+def test_mpeg2_seek_determinism(fixture_mpeg2):
+    """MPEG-2 (single-granule frames, 2304 bytes/frame) seek semantics:
+    warm-up convergence and byte-identical re-reads, mirroring the MPEG-1
+    integration checks (time_seek_test.go:969-1008)."""
+    d = Decoder(fixture_mpeg2, backend="device")
+    assert d.bytes_per_frame() == 2304
+    d.seek_to_time(30.0)
+    assert abs(d.position() - 30.0) <= 0.030
+    first = d.read(2304 * 4)
+    d.seek_to_time(60.0)
+    d.read(2304)
+    d.seek_to_time(30.0)
+    assert d.read(2304 * 4) == first
+
+
+def test_mpeg2_seek_matches_linear(fixture_mpeg2):
+    """Frames shortly after an MPEG-2 seek converge to the linear decode.
+
+    The reference decodes ONE warm-up frame before the target
+    (decode.go:120-134) — an accepted approximation, since low-bitrate
+    MPEG-2 frames (~180 bytes) cannot recharge a 511-byte bit reservoir in
+    one frame. Measured convergence on this fixture: bit-identical from the
+    2nd frame after the target."""
+    lin = Decoder(fixture_mpeg2, backend="device")
+    ref = lin.read_all()
+    d = Decoder(fixture_mpeg2, backend="device")
+    off = 500 * 2304  # frame 500
+    d.seek(off)
+    got = d.read(2304 * 8)
+    warm = 2 * 2304
+    assert got[warm:] == ref[off + warm : off + 2304 * 8]
