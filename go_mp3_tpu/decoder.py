@@ -201,12 +201,31 @@ class Decoder:
 
         f = self._pos // self._bytes_per_frame
         if f > 0:
-            # decode one warm-up frame to recharge reservoir + DSP state;
-            # its output is discarded (decode.go:120-134)
-            self._restart_at(self._frame_starts[f - 1])
-            if not self._decode_n_frames(2):
+            # Warm-up frames recharge the bit reservoir + DSP state; their
+            # output is discarded. The reference always uses exactly one
+            # (decode.go:120-134) — an approximation that cannot recharge a
+            # 511-byte reservoir from small (low-bitrate MPEG-2) frames.
+            # Here the warm-up depth is computed from the real frame byte
+            # index so the reservoir backreference window is always covered
+            # and seeks land bit-identical to a linear decode. The target
+            # frame's PCM depends on its own spectra AND frame f-1's (IMDCT
+            # overlap + polyphase FIFO reach exactly one frame back), so the
+            # warm frames before f-1 must cover f-1's 511-byte backreference:
+            # window(f-1) >= 511 main-data bytes + per-frame header overhead.
+            k = 1
+            while (
+                f - k > 0
+                and k < 8
+                and self._frame_starts[f - 1] - self._frame_starts[f - k]
+                < 511 + 36 * (k - 1)
+            ):
+                k += 1
+            self._restart_at(self._frame_starts[f - k])
+            if not self._decode_n_frames(k + 1):
                 return npos
-            skip = self._bytes_per_frame + (self._pos % self._bytes_per_frame)
+            skip = k * self._bytes_per_frame + (
+                self._pos % self._bytes_per_frame
+            )
             del self._buf[:skip]
         else:
             self._restart_at(self._frame_starts[0])

@@ -349,18 +349,16 @@ def test_mpeg2_seek_determinism(fixture_mpeg2):
 
 
 def test_mpeg2_seek_matches_linear(fixture_mpeg2):
-    """Frames shortly after an MPEG-2 seek converge to the linear decode.
+    """MPEG-2 seeks land bit-identical to the linear decode FROM THE TARGET.
 
-    The reference decodes ONE warm-up frame before the target
-    (decode.go:120-134) — an accepted approximation, since low-bitrate
-    MPEG-2 frames (~180 bytes) cannot recharge a 511-byte bit reservoir in
-    one frame. Measured convergence on this fixture: bit-identical from the
-    2nd frame after the target."""
+    Beyond the reference: its fixed one-frame warm-up (decode.go:120-134)
+    cannot recharge a 511-byte bit reservoir from ~180-byte low-bitrate
+    MPEG-2 frames, so its seeks only converge a couple frames later. This
+    decoder sizes the warm-up window from the frame byte index instead."""
     lin = Decoder(fixture_mpeg2, backend="device")
     ref = lin.read_all()
     d = Decoder(fixture_mpeg2, backend="device")
     off = 500 * 2304  # frame 500
     d.seek(off)
     got = d.read(2304 * 8)
-    warm = 2 * 2304
-    assert got[warm:] == ref[off + warm : off + 2304 * 8]
+    assert got == ref[off : off + 2304 * 8]
