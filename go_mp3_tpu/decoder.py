@@ -565,7 +565,11 @@ class _NativeStream:
 
     def decode_frames(self, n_frames: int, bytes_per_frame: int) -> bytes | None:
         gpf = max(1, bytes_per_frame // (576 * 4))
-        return self._decode_granules(n_frames * gpf)
+        # the native parse loop keeps 2 output slots free per iteration
+        # (a frame may yield 2 granules), so a capacity of N produces only
+        # N-1 granules for single-granule (MPEG-2) frames: pad the request
+        # — any extra decoded granule simply stays buffered for later reads
+        return self._decode_granules(n_frames * gpf + (1 if gpf == 1 else 0))
 
 
 class _StreamingNativeStream(_NativeStream):

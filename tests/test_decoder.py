@@ -362,3 +362,17 @@ def test_mpeg2_seek_matches_linear(fixture_mpeg2):
     d.seek(off)
     got = d.read(2304 * 8)
     assert got == ref[off : off + 2304 * 8]
+
+
+def test_mpeg2_midframe_seek_matches_linear(fixture_mpeg2):
+    """Mid-frame byte seeks on MPEG-2 land bit-identical to linear decode.
+
+    Regression: the native parse loop's keep-2-slots-free guard yielded one
+    granule fewer than requested for single-granule frames, so the seek
+    trim (warm frames + intra-frame offset) over-ran the decode buffer and
+    every subsequent read came back shifted by the intra-frame offset."""
+    full = Decoder(fixture_mpeg2, backend="device").read_all()
+    for off in (88 * 2304 + 1000, 500 * 2304 + 4, 1148 * 2304 + 1008):
+        d = Decoder(fixture_mpeg2, backend="device")
+        d.seek(off)
+        assert d.read(9216) == full[off : off + 9216], off
