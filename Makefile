@@ -1,17 +1,16 @@
 # Dev tooling (parity with the reference's Makefile targets:
-# fmt / lint / test / coverage / bench / bench-compare / profile).
+# lint / test / coverage / bench / bench-compare / profile).
+# No fmt target: this image carries no Python formatter (black/ruff);
+# style is enforced by tools/lint.py rules instead.
 
 PY ?= python
 
-.PHONY: all check fmt lint test coverage bench bench-single bench-save \
+.PHONY: all check lint test coverage bench bench-single bench-save \
         bench-compare profile native gen clean
 
 all: check
 
 check: lint test
-
-fmt:
-	$(PY) -m black go_mp3_tpu tests tools bench.py __graft_entry__.py 2>/dev/null || true
 
 lint:
 	$(PY) -m compileall -q go_mp3_tpu tests tools

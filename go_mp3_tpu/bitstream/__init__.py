@@ -9,7 +9,6 @@ go_mp3_tpu.ops.
 
 from .bits import BitReader, append
 from .frameheader import FrameHeader, read_header
-from .huffman import decode as huffman_decode
 from .maindata import MainData, read_main_data
 from .sideinfo import SideInfo, read_side_info
 from .source import Source
@@ -19,7 +18,6 @@ __all__ = [
     "append",
     "FrameHeader",
     "read_header",
-    "huffman_decode",
     "MainData",
     "read_main_data",
     "SideInfo",

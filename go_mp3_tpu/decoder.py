@@ -79,6 +79,11 @@ class Decoder:
         self._sample_rate = 0
         self._have_frame = False  # a previous frame exists (reservoir warm)
         self._at_end = False  # set by a seek at/past the end of the stream
+        # Seek warm-up parameters, refined from the first frame's header
+        # (_set_warmup_params). Defaults are the safe maxima: 38 = 4 header
+        # + 2 CRC + 32 side info; 511 = the 9-bit MPEG-1 main_data_begin.
+        self._frame_overhead = 38
+        self._mdb_window = 511
 
         if self._native is not None:
             if not self._decode_more():
@@ -91,6 +96,16 @@ class Decoder:
                 self._frame_starts = list(starts)
                 self._bytes_per_frame = bpf
                 self._length = int(bpf * len(starts))
+                if self._frame_starts:
+                    word = int.from_bytes(
+                        self._native._data[
+                            self._frame_starts[0] : self._frame_starts[0] + 4
+                        ],
+                        "big",
+                    )
+                    from .bitstream.frameheader import FrameHeader
+
+                    self._set_warmup_params(FrameHeader(word))
             # else: non-materializable source — Length/Duration/seeking
             # degrade exactly like the reference's non-Seeker case
             # (decode.go:159-161); decoding itself streams in bounded memory
@@ -111,8 +126,20 @@ class Decoder:
             return None
         if not self._have_frame:
             self._sample_rate = f.header.sampling_frequency_value()
+            self._set_warmup_params(f.header)
             self._have_frame = True
         return f
+
+    def _set_warmup_params(self, header) -> None:
+        """Per-stream seek warm-up geometry from the first frame's header.
+
+        Overhead always budgets the 2 CRC bytes even for unprotected streams
+        (the protection bit can in principle vary frame-to-frame; counting it
+        only ever deepens the warm-up, never breaks the bit-identical seek
+        guarantee). The backreference window is 255 for MPEG-2 (8-bit
+        main_data_begin) vs 511 for MPEG-1 (9-bit, sideinfo.go:94)."""
+        self._frame_overhead = 4 + 2 + header.side_info_size
+        self._mdb_window = 255 if header.low_sampling_frequency else 511
 
     def _decode_more(self) -> bool:
         """Parse+decode up to readahead frames into the buffer."""
@@ -201,25 +228,7 @@ class Decoder:
 
         f = self._pos // self._bytes_per_frame
         if f > 0:
-            # Warm-up frames recharge the bit reservoir + DSP state; their
-            # output is discarded. The reference always uses exactly one
-            # (decode.go:120-134) — an approximation that cannot recharge a
-            # 511-byte reservoir from small (low-bitrate MPEG-2) frames.
-            # Here the warm-up depth is computed from the real frame byte
-            # index so the reservoir backreference window is always covered
-            # and seeks land bit-identical to a linear decode. The target
-            # frame's PCM depends on its own spectra AND frame f-1's (IMDCT
-            # overlap + polyphase FIFO reach exactly one frame back), so the
-            # warm frames before f-1 must cover f-1's 511-byte backreference:
-            # window(f-1) >= 511 main-data bytes + per-frame header overhead.
-            k = 1
-            while (
-                f - k > 0
-                and k < 8
-                and self._frame_starts[f - 1] - self._frame_starts[f - k]
-                < 511 + 36 * (k - 1)
-            ):
-                k += 1
+            k = self._warmup_depth(f)
             self._restart_at(self._frame_starts[f - k])
             if not self._decode_n_frames(k + 1):
                 return npos
@@ -233,6 +242,37 @@ class Decoder:
                 return npos
             del self._buf[: self._pos]
         return npos
+
+    def _warmup_depth(self, f: int) -> int:
+        """How many frames before target frame f to decode (and discard) so
+        the seek lands bit-identical to a linear decode.
+
+        The reference always uses exactly one warm-up frame
+        (decode.go:120-134) — an approximation that cannot recharge a
+        511-byte reservoir from small (low-bitrate) frames. Here the depth
+        is computed from the real frame byte index. Frame f's PCM depends on
+        its own spectra, frame f-1's (IMDCT overlap + the 16-row polyphase
+        FIFO), and — via the overlap term inside f-1's FIFO rows — frame
+        f-2's. Both f-1 and f-2 therefore need exact spectra, so the warm
+        frames before f-2 must cover f-2's backreference window: the main
+        data bytes in frames f-k..f-3 must reach the stream's
+        main_data_begin maximum. Per-frame main bytes are frame spacing
+        minus the (conservative, CRC-counted) header overhead; covering
+        f-2's window also covers f-1's (which has f-2's own main bytes in
+        addition). Unbounded above (walks to frame 0 on pathological
+        low-bitrate streams — a full linear re-decode, still correct)."""
+        if f < 2:
+            return f  # decode from frame 0
+        need = self._mdb_window
+        ov = self._frame_overhead
+        k = 2
+        while (
+            f - k > 0
+            and self._frame_starts[f - 2] - self._frame_starts[f - k]
+            < need + ov * (k - 2)
+        ):
+            k += 1
+        return k
 
     def _restart_at(self, byte_offset: int) -> None:
         if self._native is not None:
@@ -301,6 +341,19 @@ class Decoder:
             st = self._dsp._sd.state
             ck["dsp"] = ("device", np.asarray(st.store), np.asarray(st.v_fifo))
         return ck
+
+    def checkpoint_bytes(self) -> bytes:
+        """checkpoint() serialized to a stable wire format (utils.state) —
+        suitable for persisting or shipping to another host."""
+        from .utils.state import checkpoint_to_bytes
+
+        return checkpoint_to_bytes(self.checkpoint())
+
+    def resume_bytes(self, data: bytes) -> None:
+        """Restore a checkpoint_bytes() snapshot (same stream, same backend)."""
+        from .utils.state import checkpoint_from_bytes
+
+        self.resume(checkpoint_from_bytes(data))
 
     def resume(self, ck: dict) -> None:
         """Restore a checkpoint() snapshot (same stream, same backend)."""

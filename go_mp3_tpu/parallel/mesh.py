@@ -40,12 +40,6 @@ def make_sharded_decoder(mesh: Mesh):
     the whole computation across chips with zero communication.
     """
     batched = jax.vmap(decode_chunk_impl)
-
-    def shard(*tree_axes):
-        return jax.tree_util.tree_map(
-            lambda spec: NamedSharding(mesh, spec), tree_axes
-        )
-
     s_lead = NamedSharding(mesh, P(STREAM_AXIS))
     in_shardings = (
         jax.tree_util.tree_map(lambda _: s_lead, GranuleBatch(*(range(14)))),

@@ -1,5 +1,5 @@
 """Utility subsystems: serializable decode state (checkpoint/resume)."""
 
-from .state import DecoderCheckpoint, state_from_numpy, state_to_numpy
+from .state import checkpoint_from_bytes, checkpoint_to_bytes
 
-__all__ = ["DecoderCheckpoint", "state_from_numpy", "state_to_numpy"]
+__all__ = ["checkpoint_from_bytes", "checkpoint_to_bytes"]

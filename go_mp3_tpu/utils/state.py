@@ -1,69 +1,75 @@
-"""Decode-state checkpoint/resume helpers.
+"""Checkpoint serialization: Decoder.checkpoint() dicts <-> bytes.
 
 The reference carries decode state implicitly ({bit reservoir bytes, IMDCT
-overlap store, polyphase vVec, byte position} — SURVEY.md §5); this module
-makes that state an explicit, serializable value so a decode can be
-checkpointed, shipped to another host, and resumed sample-exactly.
+overlap store, polyphase vVec, byte position} — SURVEY.md §5);
+`Decoder.checkpoint()` makes it an explicit dict of plain values. These
+helpers give that dict a stable wire format so a decode can be
+checkpointed, shipped to another host, and resumed sample-exactly
+(`Decoder.checkpoint_bytes()` / `Decoder.resume_bytes()` wrap them).
+
+Format: a 4-byte little-endian JSON-header length, the JSON header (scalar
+fields plus per-blob lengths), then the raw blobs (reservoir/buf bytes and
+C-order float32 arrays) concatenated.
 """
 
 from __future__ import annotations
 
-import io
 import json
-from dataclasses import dataclass
 
 import numpy as np
 
-from ..ops.granule import DecodeState
+_VERSION = 1
 
 
-@dataclass
-class DecoderCheckpoint:
-    """Everything needed to resume a stream decode at a granule boundary."""
-
-    position: int  # decoded-byte position
-    frame_index: int  # next frame to parse
-    store: np.ndarray  # [2, 32, 18] f32
-    v_fifo: np.ndarray  # [2, 16, 64] f32
-    reservoir: bytes  # previous assembled main-data buffer
-
-    def to_bytes(self) -> bytes:
-        buf = io.BytesIO()
-        header = {
-            "position": self.position,
-            "frame_index": self.frame_index,
-            "reservoir_len": len(self.reservoir),
-        }
-        hdr = json.dumps(header).encode()
-        buf.write(len(hdr).to_bytes(4, "little"))
-        buf.write(hdr)
-        buf.write(self.reservoir)
-        np.save(buf, self.store)
-        np.save(buf, self.v_fifo)
-        return buf.getvalue()
-
-    @classmethod
-    def from_bytes(cls, data: bytes) -> "DecoderCheckpoint":
-        buf = io.BytesIO(data)
-        n = int.from_bytes(buf.read(4), "little")
-        header = json.loads(buf.read(n))
-        reservoir = buf.read(header["reservoir_len"])
-        store = np.load(buf)
-        v_fifo = np.load(buf)
-        return cls(
-            position=header["position"],
-            frame_index=header["frame_index"],
-            store=store,
-            v_fifo=v_fifo,
-            reservoir=reservoir,
-        )
+def checkpoint_to_bytes(ck: dict) -> bytes:
+    """Serialize a Decoder.checkpoint() dict."""
+    kind, store, vvec = ck["dsp"]
+    store = np.ascontiguousarray(store)  # f32 device/exact, f64 golden
+    vvec = np.ascontiguousarray(vvec)
+    blobs = [bytes(ck["buf"]), bytes(ck["reservoir"]),
+             store.tobytes(), vvec.tobytes()]
+    header = {
+        "version": _VERSION,
+        "pos": ck["pos"],
+        "at_end": bool(ck["at_end"]),
+        "backend": ck["backend"],
+        "dsp_kind": kind,
+        "store_shape": list(store.shape),
+        "vvec_shape": list(vvec.shape),
+        "dtype": store.dtype.name,
+        "blob_lens": [len(b) for b in blobs],
+    }
+    for key in ("parser_offset", "source_pos", "have_frame"):
+        if key in ck:
+            header[key] = ck[key]
+    hdr = json.dumps(header).encode()
+    return len(hdr).to_bytes(4, "little") + hdr + b"".join(blobs)
 
 
-def state_to_numpy(state: DecodeState) -> tuple[np.ndarray, np.ndarray]:
-    return np.asarray(state.store), np.asarray(state.v_fifo)
-
-
-def state_from_numpy(store: np.ndarray, v_fifo: np.ndarray) -> DecodeState:
-    import jax.numpy as jnp
-
-    return DecodeState(store=jnp.asarray(store), v_fifo=jnp.asarray(v_fifo))
+def checkpoint_from_bytes(data: bytes) -> dict:
+    """Parse bytes from checkpoint_to_bytes back into a checkpoint dict."""
+    n = int.from_bytes(data[:4], "little")
+    header = json.loads(data[4 : 4 + n])
+    if header.get("version") != _VERSION:
+        raise ValueError(f"unknown checkpoint version {header.get('version')}")
+    off = 4 + n
+    blobs = []
+    for blen in header["blob_lens"]:
+        blobs.append(data[off : off + blen])
+        off += blen
+    buf, reservoir, store_b, vvec_b = blobs
+    dt = np.dtype(header["dtype"])
+    store = np.frombuffer(store_b, dt).reshape(header["store_shape"])
+    vvec = np.frombuffer(vvec_b, dt).reshape(header["vvec_shape"])
+    ck: dict = {
+        "pos": header["pos"],
+        "buf": buf,
+        "at_end": header["at_end"],
+        "backend": header["backend"],
+        "reservoir": reservoir,
+        "dsp": (header["dsp_kind"], store.copy(), vvec.copy()),
+    }
+    for key in ("parser_offset", "source_pos", "have_frame"):
+        if key in header:
+            ck[key] = header[key]
+    return ck

@@ -66,37 +66,45 @@ def test_checkpoint_beats_seek(fixture_classic_lame):
     assert d2.read(4608) == exact_next
 
 
-def test_checkpoint_serializable(fixture_classic_lame):
-    """Checkpoints round-trip through np.savez (disk-persistable)."""
-    import io
+@pytest.mark.parametrize(
+    "backend",
+    ["golden", "device"]
+    + (["exact"] if HAVE_NATIVE else []),
+)
+def test_checkpoint_bytes_roundtrip(fixture_classic_lame, backend):
+    """Checkpoints round-trip through the wire format (utils.state):
+    byte-identical continuation after ship-to-another-decoder."""
+    d = Decoder(fixture_classic_lame, backend=backend)
+    d.read(3 * 4608 + 100)
+    blob = d.checkpoint_bytes()
+    assert isinstance(blob, bytes)
+    rest = d.read(6 * 4608)
 
-    d = Decoder(fixture_classic_lame, backend="golden")
-    d.read(3 * 4608)
-    ck = d.checkpoint()
-    kind, a, b = ck["dsp"]
-    buf = io.BytesIO()
-    np.savez(
-        buf,
-        store=a,
-        vfifo=b,
-        reservoir=np.frombuffer(ck["reservoir"], np.uint8),
-        buf=np.frombuffer(ck["buf"], np.uint8),
-        meta=np.array([ck["pos"], ck["source_pos"], int(ck["at_end"]),
-                       int(ck["have_frame"])]),
+    d2 = Decoder(fixture_classic_lame, backend=backend)
+    d2.resume_bytes(blob)
+    assert d2.read(6 * 4608) == rest
+    assert d2.tell() == d.tell()
+
+
+def test_checkpoint_bytes_preserves_state_exactly(fixture_mpeg2):
+    """The wire format is dtype-preserving and bit-exact on the DSP state,
+    and round-trips every scalar field."""
+    from go_mp3_tpu.utils.state import (
+        checkpoint_from_bytes,
+        checkpoint_to_bytes,
     )
-    buf.seek(0)
-    z = np.load(buf)
-    ck2 = {
-        "backend": "golden",
-        "dsp": (kind, z["store"], z["vfifo"]),
-        "reservoir": z["reservoir"].tobytes(),
-        "buf": z["buf"].tobytes(),
-        "pos": int(z["meta"][0]),
-        "source_pos": int(z["meta"][1]),
-        "at_end": bool(z["meta"][2]),
-        "have_frame": bool(z["meta"][3]),
-    }
-    rest = d.read(4 * 4608)
-    d2 = Decoder(fixture_classic_lame, backend="golden")
-    d2.resume(ck2)
-    assert d2.read(4 * 4608) == rest
+
+    d = Decoder(fixture_mpeg2, backend="golden", use_native=False)
+    d.read(5 * 2304)
+    ck = d.checkpoint()
+    ck2 = checkpoint_from_bytes(checkpoint_to_bytes(ck))
+    kind, store, vvec = ck2["dsp"]
+    assert kind == ck["dsp"][0]
+    assert store.dtype == ck["dsp"][1].dtype
+    assert vvec.dtype == ck["dsp"][2].dtype
+    np.testing.assert_array_equal(store, ck["dsp"][1])
+    np.testing.assert_array_equal(vvec, ck["dsp"][2])
+    for key in ("pos", "at_end", "backend", "source_pos", "have_frame"):
+        assert ck2[key] == ck[key]
+    assert ck2["buf"] == bytes(ck["buf"])
+    assert ck2["reservoir"] == bytes(ck["reservoir"])

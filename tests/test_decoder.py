@@ -364,6 +364,102 @@ def test_mpeg2_seek_matches_linear(fixture_mpeg2):
     assert got == ref[off : off + 2304 * 8]
 
 
+def test_long_cbr_stream_index_seek_duration():
+    """Hermetic stand-in for the reference's primary fixture classic.mp3
+    (~355 s CBR, absent from this mount — .MISSING_LARGE_BLOBS): a
+    multi-minute CBR stream at thousands-of-frames scale gates the index /
+    length / duration / deep-seek math (decode.go:154-216 semantics)."""
+    from util_synth import silent_frame
+
+    frame = silent_frame()  # 417 B, 128 kbps 44.1 kHz -> 1152 samples
+    n = 13600  # ~355 s, classic.mp3 scale
+    data = frame * n
+    d = Decoder(data, backend="device")
+    assert d.length() == n * 4608
+    assert len(d._frame_starts) == n
+    assert d._frame_starts[1] - d._frame_starts[0] == 417
+    assert abs(d.duration() - n * 1152 / 44100) < 1e-9
+
+    # deep seek: position math stays exact at minute offsets
+    d.seek_to_time(300.0)
+    assert abs(d.position() - 300.0) <= 0.030
+    got = d.read(4608)
+    assert len(got) == 4608
+    pos_after = d.position()
+    assert abs(pos_after - (300.0 + 1152 / 44100)) <= 0.031
+
+    # seek near the end: the tail reads exactly to length
+    d.seek(d.length() - 2 * 4608)
+    assert len(d.read(-1)) == 2 * 4608
+    assert d.tell() == d.length()
+
+    # python (non-native) index agrees on a prefix of the same stream
+    d2 = Decoder(frame * 64, backend="golden", use_native=False)
+    d2._ensure_frame_starts_and_length()
+    assert d2.length() == 64 * 4608
+    assert d2._frame_starts == [417 * i for i in range(64)]
+
+
+def test_seek_pathological_low_bitrate_reservoir():
+    """Seeks stay bit-identical when the reservoir backreference spans many
+    tiny frames (8 kbps MPEG-2: 26-byte frames, 13 main-data bytes each —
+    a 247-byte main_data_begin reaches 19 frames back). A fixed warm-up
+    window (the reference's 1 frame; this repo's former 8-frame cap) cannot
+    recharge that reservoir. Hermetic: the stream is built in code
+    (util_synth.low_bitrate_mpeg2_stream)."""
+    from util_synth import low_bitrate_mpeg2_stream
+
+    data, content_f, n_frames = low_bitrate_mpeg2_stream()
+    bpf = 2304
+    for backend, use_native in (("golden", False), ("device", None)):
+        full = Decoder(data, backend=backend, use_native=use_native).read(-1)
+        assert len(full) == n_frames * bpf
+        # targets: the content frame and the two frames whose PCM still
+        # depends on its spectra through the overlap store / polyphase FIFO
+        for f in (content_f, content_f + 1, content_f + 2):
+            d = Decoder(data, backend=backend, use_native=use_native)
+            d.seek(f * bpf)
+            got = d.read(-1)
+            assert got == full[f * bpf :], (backend, f)
+
+
+def test_seek_pathological_stream_defeats_capped_warmup(monkeypatch):
+    """The fixture above is a real stress: with the warm-up depth clamped
+    to the former 8-frame cap, the same seek does NOT reproduce the linear
+    decode (guards the fixture against becoming vacuous)."""
+    from util_synth import low_bitrate_mpeg2_stream
+
+    data, content_f, _ = low_bitrate_mpeg2_stream()
+    bpf = 2304
+    full = Decoder(data, backend="golden", use_native=False).read(-1)
+    orig = Decoder._warmup_depth
+    monkeypatch.setattr(
+        Decoder, "_warmup_depth", lambda self, f: min(orig(self, f), 8)
+    )
+    d = Decoder(data, backend="golden", use_native=False)
+    d.seek((content_f + 1) * bpf)
+    assert d.read(-1) != full[(content_f + 1) * bpf :]
+
+
+def test_warmup_depth_geometry():
+    """Unit check of the warm-up window math: the chosen depth always
+    covers the stream's main_data_begin window with main-data bytes, using
+    the conservative (CRC-counted) per-frame overhead."""
+    from util_synth import low_bitrate_mpeg2_stream
+
+    data, content_f, n_frames = low_bitrate_mpeg2_stream()
+    d = Decoder(data, backend="golden", use_native=False)
+    assert d._mdb_window == 255  # MPEG-2: 8-bit main_data_begin
+    assert d._frame_overhead == 4 + 2 + 9
+    for f in range(2, n_frames):
+        k = d._warmup_depth(f)
+        covered = (
+            d._frame_starts[f - 2] - d._frame_starts[f - k]
+            - d._frame_overhead * (k - 2)
+        )
+        assert covered >= 255 or f - k == 0, (f, k, covered)
+
+
 def test_mpeg2_midframe_seek_matches_linear(fixture_mpeg2):
     """Mid-frame byte seeks on MPEG-2 land bit-identical to linear decode.
 

@@ -116,6 +116,104 @@ class _BitWriter:
         return bytes(out)
 
 
+def low_bitrate_mpeg2_stream(n_fillers: int = 19, n_trailing: int = 6):
+    """A valid 8 kbps MPEG-2 mono stream (26-byte frames, 13 main-data bytes
+    each) whose frame `n_fillers` carries real spectral content with
+    main_data_begin spanning ALL previous frames' main data — the
+    pathological case for seek warm-up: a fixed small warm-up window (the
+    reference's 1 frame, or this repo's former 8-frame cap) cannot recharge
+    the reservoir, so seeking past the content frame only lands
+    bit-identical to a linear decode if the warm-up depth is derived from
+    the real frame geometry.
+
+    Layout: `n_fillers` frames with part2_3_length == 0 whose main-data
+    bytes hold the content frame's Huffman bits (each declares the full
+    running backlog as main_data_begin so the reservoir carries forward),
+    then the content frame (main_data_begin == 13 * n_fillers, big-value
+    pairs of ±1 via Huffman table 1 across all three regions), then
+    `n_trailing` silent frames. Returns (stream bytes, content frame index,
+    total frame count)."""
+    from go_mp3_tpu.bitstream.huffman_tables import TABLES
+
+    assert 13 * n_fillers <= 255, "MPEG-2 main_data_begin is 8 bits"
+    header_word = (
+        0xFFE00000
+        | (2 << 19)  # version: MPEG-2
+        | (1 << 17)  # layer: III
+        | (1 << 16)  # no CRC
+        | (1 << 12)  # bitrate index 1 = 8 kbps
+        | (0 << 10)  # 22.05 kHz
+        | (3 << 6)  # mono
+    )
+    frame_size = ((144 * 8000) // 22050) >> 1  # 26
+    main_bytes = frame_size - 4 - 9  # 13
+
+    # Content granule: big-value (1,1) pairs via table 1 in all regions.
+    # region0_count=8, region1_count=3 -> boundaries 66 / 140 from the
+    # MPEG-2 22.05 kHz long-band table; big_values=240 covers lines 0..479.
+    book, _linbits = TABLES[1]
+    length, code = next(
+        (e[0], e[1]) for e in book if e[2] == 1 and e[3] == 1
+    )
+    n_pairs = 240
+    md = _BitWriter()
+    for p in range(n_pairs):
+        md.write(code, length)
+        md.write(p & 1, 1)  # x sign (alternating, avoids DC)
+        md.write((p >> 1) & 1, 1)  # y sign
+    p23 = n_pairs * (length + 2)
+    assert p23 < 4096
+    content_bits = md.tobytes()
+
+    # The content frame's Huffman bits start at bit 0 of its assembled
+    # reservoir = byte 0 of filler 0's main data.
+    payload = bytearray(content_bits)
+    total_main = (n_fillers + 1) * main_bytes
+    assert len(payload) <= total_main, "content must fit the backlog"
+    payload.extend(bytes(total_main - len(payload)))
+
+    def side_info(mdb: int, part23: int, big_values: int) -> bytes:
+        si = _BitWriter()
+        si.write(mdb, 8)  # main_data_begin (8 bits for MPEG-2)
+        si.write(0, 1)  # private (mono)
+        si.write(part23, 12)
+        si.write(big_values, 9)
+        si.write(210, 8)  # global_gain -> unit requantize scale
+        si.write(0, 9)  # scalefac_compress 0 -> zero scalefactor bits
+        si.write(0, 1)  # window_switching: normal long block
+        for _ in range(3):
+            si.write(1, 5)  # table_select: table 1 everywhere
+        si.write(8, 4)  # region0_count
+        si.write(3, 3)  # region1_count
+        si.write(0, 1)  # scalefac_scale
+        si.write(0, 1)  # count1 table
+        out = si.tobytes()
+        assert len(out) == 9, len(out)
+        return out
+
+    frames = []
+    for i in range(n_fillers):
+        main = payload[i * main_bytes : (i + 1) * main_bytes]
+        frames.append(
+            header_word.to_bytes(4, "big")
+            + side_info(min(13 * i, 255), 0, 0)
+            + bytes(main)
+        )
+    content_main = payload[n_fillers * main_bytes :]
+    frames.append(
+        header_word.to_bytes(4, "big")
+        + side_info(13 * n_fillers, p23, n_pairs)
+        + bytes(content_main)
+    )
+    for _ in range(n_trailing):
+        frames.append(
+            header_word.to_bytes(4, "big")
+            + side_info(0, 0, 0)
+            + bytes(main_bytes)
+        )
+    return b"".join(frames), n_fillers, n_fillers + 1 + n_trailing
+
+
 def escape_heavy_frame(n_pairs: int = 20, linbit_value: int = 4000) -> bytes:
     """A valid MONO MPEG-1 Layer III frame whose two granules each carry
     `n_pairs` big-value pairs of (15+linbit, 15+linbit) via Huffman table 23

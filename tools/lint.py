@@ -11,6 +11,8 @@ not just a syntax check. Rules:
   E711  comparison to None/True/False with ==/!=
   F811  redefinition of a top-level name in the same scope
   F541  f-string without any placeholder
+  X001  exported-but-unused: a name in a library `__all__` that no other
+        file in the repo (library, tests, tools, bench) ever references
 
 A line containing `noqa` suppresses findings on that line.
 Exit status 1 if any finding; prints file:line: code message.
@@ -70,6 +72,7 @@ class Checker(ast.NodeVisitor):
         self.generic_visit(node)
 
     def visit_Attribute(self, node: ast.Attribute) -> None:
+        self.used.add(node.attr)  # attribute access counts as symbol use
         self.generic_visit(node)
 
     # --- rules ---------------------------------------------------------------
@@ -132,17 +135,18 @@ def check_redefinitions(tree: ast.Module, checker: Checker) -> None:
             seen[node.name] = node.lineno
 
 
-def check_file(path: pathlib.Path) -> list[str]:
+def check_file(path: pathlib.Path):
+    """Returns (findings, exports [(name, lineno)], used-name set)."""
     src = path.read_text()
     try:
         tree = ast.parse(src, filename=str(path))
     except SyntaxError as e:
-        return [f"{path}:{e.lineno}: E999 syntax error: {e.msg}"]
+        return ([f"{path}:{e.lineno}: E999 syntax error: {e.msg}"], [], set())
     c = Checker(path, src)
     c.visit(tree)
     check_redefinitions(tree, c)
     # unused imports: names imported but never loaded anywhere in the module
-    dunder_all = set()
+    dunder_all: list[tuple[str, int]] = []
     for node in tree.body:
         if (isinstance(node, ast.Assign)
                 and any(isinstance(t, ast.Name) and t.id == "__all__"
@@ -150,23 +154,43 @@ def check_file(path: pathlib.Path) -> list[str]:
                 and isinstance(node.value, (ast.List, ast.Tuple))):
             for elt in node.value.elts:
                 if isinstance(elt, ast.Constant) and isinstance(elt.value, str):
-                    dunder_all.add(elt.value)
+                    dunder_all.append((elt.value, elt.lineno))
+    all_names = {n for n, _ in dunder_all}
     if path.name != "__init__.py":  # re-export surfaces are exempt
         for name, lineno in c.imported.items():
-            if name not in c.used and name not in dunder_all and name != "_":
+            if name not in c.used and name not in all_names and name != "_":
                 c.add(lineno, "F401", f"unused import {name!r}")
     out = []
     for lineno, code, msg in sorted(c.findings):
         out.append(f"{path.relative_to(ROOT)}:{lineno}: {code} {msg}")
-    return out
+    # importing a name is also a use, for the cross-file X001 pass
+    used = c.used | set(c.imported)
+    return out, dunder_all, used
 
 
 def main() -> int:
     findings: list[str] = []
+    exports: list[tuple[pathlib.Path, str, int]] = []  # library __all__ names
+    used_elsewhere: dict[pathlib.Path, set[str]] = {}
     n = 0
     for f in iter_files():
         n += 1
-        findings.extend(check_file(f))
+        file_findings, dunder_all, used = check_file(f)
+        findings.extend(file_findings)
+        used_elsewhere[f] = used
+        if f.parts[len(ROOT.parts)] == "go_mp3_tpu":
+            exports.extend((f, name, lineno) for name, lineno in dunder_all)
+    # X001: a library export no other file ever references (Name load,
+    # attribute access, or import) is dead public API
+    for f, name, lineno in exports:
+        if not any(
+            name in used for other, used in used_elsewhere.items()
+            if other != f
+        ):
+            findings.append(
+                f"{f.relative_to(ROOT)}:{lineno}: X001 exported-but-unused "
+                f"{name!r} (no other file references it)"
+            )
     for line in findings:
         print(line)
     print(f"lint: {n} files, {len(findings)} finding(s)", file=sys.stderr)
