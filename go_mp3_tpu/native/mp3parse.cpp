@@ -193,8 +193,26 @@ struct QuadLut {
   std::vector<uint16_t> lut;  // adv<<8 | v<<6 | w<<4 | x<<2 | y (2-bit signed)
 };
 
+// Sign-baked pair LUT: the index covers codeword + sign bits, so the common
+// case is one load per symbol with no separate sign handling, and the
+// advance (codeword + sign bits) comes out of the same entry — the next
+// symbol's window position depends on a single L1 load. Entry format:
+//   bit 15      slow: escape codes (linbits), codes whose codeword+signs
+//               exceed the index width, or junk windows — fall back to the
+//               exact two-level path
+//   bits 10..13 advance in bits (codeword + sign bits, <= index width)
+//   bits 5..9   x + 15   (signed value in -15..15)
+//   bits 0..4   y + 15
+// Index width is min(12, maxlen + 2): 12 keeps each LUT at 8 KiB (u16) so
+// two or three region tables plus the quad LUT stay cache-resident.
+struct SignedPairLut {
+  int bits = 0;
+  std::vector<uint16_t> lut;
+};
+
 struct FastLuts {
   PairLut pair_by_table[34];
+  SignedPairLut signed_by_table[34];
   QuadLut quad[2];  // tables 32, 33
 
   static void build_pair(const HuffEntry* book, int size, PairLut* out) {
@@ -242,6 +260,39 @@ struct FastLuts {
             0x8000u | (uint32_t(prefix_base[pre]) << out->sec_shift));
   }
 
+  static void build_signed(const HuffEntry* book, int size, bool has_linbits,
+                           SignedPairLut* out) {
+    int maxlen = 0;
+    for (int i = 0; i < size; i++)
+      if (book[i].len > maxlen) maxlen = book[i].len;
+    int pb = maxlen + 2 < 12 ? maxlen + 2 : 12;
+    out->bits = pb;
+    // default every index to slow; only fully-baked codes overwrite (long
+    // codes' prefixes are never a complete shorter codeword, so their
+    // indices keep the default)
+    out->lut.assign(size_t(1) << pb, 0x8000u);
+    for (int i = 0; i < size; i++) {
+      const HuffEntry& e = book[i];
+      bool esc = has_linbits && (e.x == 15 || e.y == 15);
+      int nsign = (e.x != 0) + (e.y != 0);
+      int adv = e.len + nsign;
+      if (esc || adv > pb) continue;  // slow
+      for (int s = 0; s < (1 << nsign); s++) {
+        int sx = e.x, sy = e.y;
+        int bit = nsign - 1;  // first sign bit after the code is x's
+        if (e.x) {
+          if ((s >> bit) & 1) sx = -sx;
+          bit--;
+        }
+        if (e.y && ((s >> bit) & 1)) sy = -sy;
+        uint16_t val = uint16_t((adv << 10) | ((sx + 15) << 5) | (sy + 15));
+        size_t lo = (size_t(e.code) << nsign | unsigned(s)) << (pb - adv);
+        size_t hi = lo + (size_t(1) << (pb - adv));
+        for (size_t w = lo; w < hi; w++) out->lut[w] = val;
+      }
+    }
+  }
+
   static void build_quad(const HuffEntry* book, int size, QuadLut* out) {
     int maxlen = 0;
     for (int i = 0; i < size; i++)
@@ -281,12 +332,18 @@ struct FastLuts {
       if (!ref.book) continue;
       int prev = -1;
       for (int u = 0; u < t; u++)
-        if (kTables[u].book == ref.book) { prev = u; break; }
+        if (kTables[u].book == ref.book &&
+            (kTables[u].linbits > 0) == (ref.linbits > 0)) {
+          prev = u;
+          break;
+        }
       if (prev >= 0) {
         pair_by_table[t] = pair_by_table[prev];
+        signed_by_table[t] = signed_by_table[prev];
         continue;
       }
       build_pair(ref.book, ref.size, &pair_by_table[t]);
+      build_signed(ref.book, ref.size, ref.linbits > 0, &signed_by_table[t]);
     }
     build_quad(kTables[32].book, kTables[32].size, &quad[0]);
     build_quad(kTables[33].book, kTables[33].size, &quad[1]);
@@ -684,6 +741,7 @@ struct Parser {
     int seg = 0;  // 0..2 = big-value regions, 3 = count1
     int seg_end[3] = {0, 0, 0};
     const PairLut* lut[3] = {nullptr, nullptr, nullptr};
+    const SignedPairLut* slut[3] = {nullptr, nullptr, nullptr};
     int tno[3] = {0, 0, 0};
     int lb[3] = {0, 0, 0};
     const QuadLut* qlut = nullptr;
@@ -728,6 +786,7 @@ struct Parser {
       L->tno[r] = si->table_select[gr][ch][r];
       const TableRef& ref = kTables[L->tno[r]];
       L->lut[r] = ref.book ? &fl.pair_by_table[L->tno[r]] : nullptr;
+      L->slut[r] = ref.book ? &fl.signed_by_table[L->tno[r]] : nullptr;
       L->lb[r] = ref.linbits;
     }
     L->qtno = si->count1_table[gr][ch] + 32;
@@ -750,7 +809,62 @@ struct Parser {
     L.active = false;
   }
 
-  // One fast decode step for a lane (a symbol, or segment bookkeeping).
+  // Exact single-symbol decode through the two-level LUT, for codes the
+  // sign-baked table marks slow (linbits escapes, codewords whose
+  // code+signs exceed the 12-bit index, junk windows).
+  static void decode_pair_slow(HuffLane& L, uint64_t w64) {
+    const PairLut& tl = *L.lut[L.seg];
+    const int lb = L.lb[L.seg];
+    int64_t pos = L.pos;
+    uint16_t e = tl.prim[w64 >> (64 - tl.prim_bits)];
+    if (e & 0x8000u)
+      e = tl.sec[(e & 0x7FFFu) +
+                 uint32_t((w64 << tl.prim_bits) >> (64 - tl.sec_shift))];
+    int len = (e >> 8) & 0x1F;
+    pos += len;
+    int x = (e >> 4) & 0xF;
+    int y = e & 0xF;
+    uint64_t rest = w64 << len;
+    if (lb) {
+      if (x == 15) {
+        x += int(rest >> (64 - lb));
+        rest <<= lb;
+        pos += lb;
+      }
+      int nx = x != 0;
+      int sx = -(int(rest >> 63) & nx);
+      x = (x ^ sx) - sx;
+      rest <<= nx;
+      pos += nx;
+      if (y == 15) {
+        y += int(rest >> (64 - lb));
+        rest <<= lb;
+        pos += lb;
+      }
+      int ny = y != 0;
+      int sy = -(int(rest >> 63) & ny);
+      y = (y ^ sy) - sy;
+      pos += ny;
+    } else {
+      int nx = x != 0;
+      int sx = -(int(rest >> 63) & nx);
+      x = (x ^ sx) - sx;
+      rest <<= nx;
+      pos += nx;
+      int ny = y != 0;
+      int sy = -(int(rest >> 63) & ny);
+      y = (y ^ sy) - sy;
+      pos += ny;
+    }
+    L.pos = pos;
+    L.out[L.is_pos] = int16_t(x);
+    L.out[L.is_pos + 1] = int16_t(y);
+    L.is_pos += 2;
+  }
+
+  // One fast decode step for a lane: up to TWO symbols from one 64-bit
+  // window via the sign-baked LUT (common case: one L1 load per symbol,
+  // advance from the same entry), or segment bookkeeping.
   static inline void lane_step(HuffLane& L, const uint8_t* buf,
                                int64_t total) {
     if (L.seg < 3) {
@@ -770,83 +884,74 @@ struct Parser {
         }
         return;  // count1 starts next call
       }
+      // window guard: the slow path's worst symbol is 19 code + 2*13
+      // linbits + 2 sign bits = 47; the fast path's two symbols need at
+      // most 24. Lanes near the tail finish on the exact scalar path.
       if (__builtin_expect(L.pos + 47 > total, 0)) {
         L.scalar = true;
         L.active = false;
         return;
       }
-      const PairLut& tl = *L.lut[L.seg];
-      const int lb = L.lb[L.seg];
-      int64_t pos = L.pos;
-      uint64_t w64 = BitReader::be64(buf + (pos >> 3)) << (pos & 7);
-      uint16_t e = tl.prim[w64 >> (64 - tl.prim_bits)];
-      if (e & 0x8000u)
-        e = tl.sec[(e & 0x7FFFu) +
-                   uint32_t((w64 << tl.prim_bits) >> (64 - tl.sec_shift))];
-      int len = (e >> 8) & 0x1F;
-      pos += len;
-      int x = (e >> 4) & 0xF;
-      int y = e & 0xF;
-      uint64_t rest = w64 << len;
-      if (lb) {
-        if (__builtin_expect(x == 15, 0)) {
-          x += int(rest >> (64 - lb));
-          rest <<= lb;
-          pos += lb;
-        }
-        int nx = x != 0;
-        int sx = -(int(rest >> 63) & nx);
-        x = (x ^ sx) - sx;
-        rest <<= nx;
-        pos += nx;
-        if (__builtin_expect(y == 15, 0)) {
-          y += int(rest >> (64 - lb));
-          rest <<= lb;
-          pos += lb;
-        }
-        int ny = y != 0;
-        int sy = -(int(rest >> 63) & ny);
-        y = (y ^ sy) - sy;
-        pos += ny;
-      } else {
-        // branchless signs: sign bits are random, so data-dependent
-        // negation must not be a branch (one mispredict per symbol)
-        int nx = x != 0;
-        int sx = -(int(rest >> 63) & nx);
-        x = (x ^ sx) - sx;
-        rest <<= nx;
-        pos += nx;
-        int ny = y != 0;
-        int sy = -(int(rest >> 63) & ny);
-        y = (y ^ sy) - sy;
-        pos += ny;
+      const SignedPairLut& sl = *L.slut[L.seg];
+      const int sbits = sl.bits;
+      const uint16_t* lut = sl.lut.data();
+      uint64_t w64 = BitReader::be64(buf + (L.pos >> 3)) << (L.pos & 7);
+      uint32_t e = lut[w64 >> (64 - sbits)];
+      if (__builtin_expect(e & 0x8000u, 0)) {
+        decode_pair_slow(L, w64);
+        return;
       }
-      L.pos = pos;
-      L.out[L.is_pos] = int16_t(x);
-      L.out[L.is_pos + 1] = int16_t(y);
+      uint32_t adv = e >> 10;
+      L.out[L.is_pos] = int16_t(((e >> 5) & 0x1F) - 15);
+      L.out[L.is_pos + 1] = int16_t((e & 0x1F) - 15);
       L.is_pos += 2;
+      L.pos += adv;
+      // up to 3 more symbols from the same window (4 x 12 bits fits the
+      // >= 57 valid window bits; the guard above keeps loads in-buffer)
+      for (int rep = 0; rep < 3; rep++) {
+        if (L.is_pos >= end) return;
+        uint32_t e2 = lut[(w64 << adv) >> (64 - sbits)];
+        if (__builtin_expect(e2 & 0x8000u, 0)) return;  // next call, slow
+        L.out[L.is_pos] = int16_t(((e2 >> 5) & 0x1F) - 15);
+        L.out[L.is_pos + 1] = int16_t((e2 & 0x1F) - 15);
+        L.is_pos += 2;
+        adv += e2 >> 10;
+        L.pos += e2 >> 10;
+      }
       return;
     }
-    // count1 quadruples
+    // count1 quadruples, up to two per window
     if (L.is_pos > 572 || L.pos > L.bit_pos_end) {
       L.active = false;  // natural end: caller runs lane_finalize
       return;
     }
-    if (__builtin_expect(L.pos + L.qlut->bits > total, 0)) {
+    if (__builtin_expect(L.pos + 2 * L.qlut->bits > total, 0)) {
       L.scalar = true;
       L.active = false;
       return;
     }
     static const int8_t dec2[4] = {0, 1, 0, -1};
+    const int qbits = L.qlut->bits;
+    const uint16_t* qlut = L.qlut->lut.data();
     uint64_t w64 = BitReader::be64(buf + (L.pos >> 3)) << (L.pos & 7);
-    uint16_t e = L.qlut->lut.data()[w64 >> (64 - L.qlut->bits)];
-    L.pos += e >> 8;
+    uint16_t e = qlut[w64 >> (64 - qbits)];
+    uint32_t adv = e >> 8;
+    L.pos += adv;
     // guard (is_pos <= 572) makes all four writes in-bounds, so the
     // reference's per-write break checks can never fire — write all 4
     L.out[L.is_pos] = dec2[(e >> 6) & 3];
     L.out[L.is_pos + 1] = dec2[(e >> 4) & 3];
     L.out[L.is_pos + 2] = dec2[(e >> 2) & 3];
     L.out[L.is_pos + 3] = dec2[e & 3];
+    L.is_pos += 4;
+    // second quad: same end-of-region checks as the loop head
+    if (L.is_pos > 572 || L.pos > L.bit_pos_end) return;
+    uint16_t f = qlut[(w64 << adv) >> (64 - qbits)];
+    L.pos += f >> 8;
+    L.out[L.is_pos] = dec2[(f >> 6) & 3];
+    L.out[L.is_pos + 1] = dec2[(f >> 4) & 3];
+    L.out[L.is_pos + 2] = dec2[(f >> 2) & 3];
+    L.out[L.is_pos + 3] = dec2[f & 3];
     L.is_pos += 4;
   }
 
