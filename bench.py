@@ -2,8 +2,9 @@
 """Benchmark: aggregate MP3 decode throughput per chip.
 
 Pipeline: the native C++ parser fills three flat arrays per chunk
-(int8 spectra [S,T,1152] + escape deltas [S,T,32,2] i16 + byte sidecar
-[S,T,168] — gmp_parse_packed8, ~56% the bytes of the int16 interface)
+(int8 tail spectra [S,T,1024] + exact int16 head plane [S,T,128] + byte
+sidecar [S,T,168] — gmp_parse_packed8, ~63% the bytes of the int16
+interface, and unpacked on device with no gather/scatter)
 which are device_put ASYNCHRONOUSLY as soon as each chunk is parsed, so
 host parse overlaps the H2D transfers. The whole corpus then decodes in
 ONE jitted lax.scan over chunks (state carried on-device), amortizing
@@ -57,7 +58,12 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from go_mp3_tpu.consts import SAMPLES_PER_GR
-    from go_mp3_tpu.native.lib import ESC_SLOTS, SIDE8_WIDTH, NativeParser
+    from go_mp3_tpu.native.lib import (
+        HEAD_WIDTH,
+        SIDE8_WIDTH,
+        SP8_TAIL_WIDTH,
+        NativeParser,
+    )
     from go_mp3_tpu.ops.granule import decode_chunk_packed8_impl
     from go_mp3_tpu.parallel.mesh import init_states
 
@@ -84,8 +90,8 @@ def main() -> None:
 
     # probe stream lengths/rates once (untimed)
     stream_gr, stream_sr = [], []
-    spp = np.zeros((8192, 1152), np.int8)
-    escp = np.zeros((8192, ESC_SLOTS, 2), np.int16)
+    spp = np.zeros((8192, SP8_TAIL_WIDTH), np.int8)
+    escp = np.zeros((8192, HEAD_WIDTH), np.int16)
     sdp = np.zeros((8192, SIDE8_WIDTH), np.uint8)
     for data in (classic, mpeg2):
         p = NativeParser(data)
@@ -107,7 +113,7 @@ def main() -> None:
     n_chunks = max(-(-g // chunk_t) for g in gr_by_stream)
 
     # single-execute corpus decode: scan the chunk sequence on-device.
-    # Spectra arrive LINE-MAJOR ([S,1152,T] — measured 32% cheaper through
+    # Spectra arrive LINE-MAJOR ([S,1024,T] — measured 32% cheaper through
     # the relay's compressing link than granule-major; lines cluster zeros
     # and magnitudes across time) and are re-transposed on device. The tiny
     # escape/sidecar arrays ship as two corpus-wide batched transfers
@@ -116,8 +122,8 @@ def main() -> None:
 
     @jax.jit
     def decode_corpus(sp_chunks, es_all, sd_all, states, valids):
-        # sp_chunks: list of [S,1152,T] i8; es_all [C,S,T,K,2] i16;
-        # sd_all [C,S,T,168] u8. Returns per-chunk per-stream |PCM| energies
+        # sp_chunks: list of [S,1024,T] i8 tails; es_all [C,S,T,128] i16
+        # head planes; sd_all [C,S,T,168] u8. Returns per-stream energies
         # (the full PCM cannot be skipped by XLA — the energies and the
         # carried DSP state depend on it — but only [C,S] scalars come back
         # out, the shape an on-device consumer would see; PCM correctness is
@@ -140,8 +146,8 @@ def main() -> None:
     # measured as parse time; a production pipeline reuses ring buffers)
     pool = [
         (
-            np.empty((n_streams, chunk_t, 1152), np.int8),
-            np.empty((n_streams, chunk_t, ESC_SLOTS, 2), np.int16),
+            np.empty((n_streams, chunk_t, SP8_TAIL_WIDTH), np.int8),
+            np.empty((n_streams, chunk_t, HEAD_WIDTH), np.int16),
             np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8),
         )
         for _ in range(n_chunks)
@@ -155,8 +161,9 @@ def main() -> None:
     t0 = time.perf_counter()
     sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
     shapes = (
-        [sds((n_streams, 1152, chunk_t), np.int8) for _ in range(n_chunks)],
-        sds((n_chunks, n_streams, chunk_t, ESC_SLOTS, 2), np.int16),
+        [sds((n_streams, SP8_TAIL_WIDTH, chunk_t), np.int8)
+         for _ in range(n_chunks)],
+        sds((n_chunks, n_streams, chunk_t, HEAD_WIDTH), np.int16),
         sds((n_chunks, n_streams, chunk_t, SIDE8_WIDTH), np.uint8),
         jax.tree_util.tree_map(
             lambda x: sds(x.shape, x.dtype), states
@@ -177,7 +184,7 @@ def main() -> None:
     # enqueue. Repeated, best run reported: both the shared host and the
     # relay link swing minute-to-minute, and the minimum is the honest
     # steady-state capability of the decoder itself.
-    es_all = np.empty((n_chunks, n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
+    es_all = np.empty((n_chunks, n_streams, chunk_t, HEAD_WIDTH), np.int16)
     sd_all = np.empty((n_chunks, n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
     runs = []
     en = None
@@ -227,8 +234,8 @@ def main() -> None:
 
     # --- untimed probes: per-phase steady-state costs (min over repeats:
     # the shared host makes single samples unreliable) --------------------
-    sp0 = np.zeros((n_streams, chunk_t, 1152), np.int8)
-    es0 = np.zeros((n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
+    sp0 = np.zeros((n_streams, chunk_t, SP8_TAIL_WIDTH), np.int8)
+    es0 = np.zeros((n_streams, chunk_t, HEAD_WIDTH), np.int16)
     sd0 = np.zeros((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
     probe_parse = float("inf")
     for _ in range(3):

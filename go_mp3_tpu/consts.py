@@ -125,4 +125,13 @@ SF_BAND_INDICES = (
 # ---------------------------------------------------------------------------
 SIDE_WIDTH = 144  # int16 words per granule: 22 meta + 44 sfl + 78 sfs
 SIDE8_WIDTH = 168  # bytes per granule: 44 meta (LE i16) + 44 sfl + 78 sfs + 2
-ESC_SLOTS = 32  # int8-interface escape (line idx, delta) pairs per granule
+# int8 interface: a dense int16 HEAD plane carries per-channel lines
+# 0..HEAD_LINES-1 exactly (the only place |value| > 127 occurs on real
+# streams — big spectral magnitudes live at low frequencies), and an int8
+# TAIL plane carries lines HEAD_LINES..575. A tail line that would clip
+# sets a sticky overflow and callers fall back to the int16 interface.
+# The head replaces the former scatter-applied escape list: unpacking is
+# a pure concatenate, with no gather/scatter on the device.
+HEAD_LINES = 64  # per-channel int16 head lines
+HEAD_WIDTH = 2 * HEAD_LINES  # int16 words per granule (both channels)
+SP8_TAIL_WIDTH = 2 * (576 - HEAD_LINES)  # int8 tail bytes per granule

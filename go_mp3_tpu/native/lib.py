@@ -17,7 +17,12 @@ import numpy as np
 _DIR = Path(__file__).resolve().parent
 _SO = _DIR / "libmp3parse.so"
 
-from ..consts import ESC_SLOTS, SIDE8_WIDTH, SIDE_WIDTH  # single source
+from ..consts import (  # single source
+    HEAD_WIDTH,
+    SIDE8_WIDTH,
+    SIDE_WIDTH,
+    SP8_TAIL_WIDTH,
+)
 
 META_WIDTH = 24
 # packed sidecar layout (must match mp3parse.cpp gmp_parse_packed emit):
@@ -25,8 +30,10 @@ META_WIDTH = 24
 # scalefactors; words 0..21 mirror the META_* slots, then scalefactors.
 SIDE_SFL = 22  # [2][22] long scalefactors at words 22..65
 SIDE_SFS = 66  # [2][39] short scalefactors at words 66..143
-# int8-quantized layout (gmp_parse_packed8): bytes [0:44] meta LE i16 words,
-# [44:88] sfl, [88:166] sfs; ESC_SLOTS escape (line idx, delta) pairs
+# int8-quantized layout (gmp_parse_packed8): side8 bytes [0:44] meta LE i16
+# words, [44:88] sfl, [88:166] sfs; spectra split into an exact int16 HEAD
+# (per-channel lines 0..HEAD_LINES-1) and an int8 TAIL (the rest) — see
+# consts.py
 # meta layout (must match mp3parse.cpp parse_frame emit)
 META_VARIANT = 0
 META_FLAGS = 1  # bit0 ms, bit1 intensity, bit2 mono
@@ -260,29 +267,31 @@ class NativeParser:
         return n
 
     def parse_packed8_into(
-        self, spectra8: np.ndarray, esc: np.ndarray, side8: np.ndarray
+        self, tail8: np.ndarray, head16: np.ndarray, side8: np.ndarray
     ) -> int:
         """Parse granules into the int8-quantized layout (~56% the bytes of
-        the int16 interface): spectra8 [cap,1152] i8, esc [cap,ESC_SLOTS,2]
-        i16, side8 [cap,SIDE8_WIDTH] u8.
+        the int16 interface): tail8 [cap,SP8_TAIL_WIDTH] i8 (per-channel
+        lines HEAD_LINES..575), head16 [cap,HEAD_WIDTH] i16 (exact lines
+        0..HEAD_LINES-1 — big magnitudes live near DC, so the tail fits
+        int8 on real streams), side8 [cap,SIDE8_WIDTH] u8.
 
-        Raises OverflowError if any granule needed more escape slots than
-        ESC_SLOTS (never observed on real streams). The overflowed granules
-        were already consumed with CLIPPED values and this parser's position
-        has advanced past them, so recovery means re-parsing the stream from
-        the start with parse_packed_into (decode_corpus_fast does exactly
-        that); this parser should be discarded."""
-        cap = spectra8.shape[0]
-        assert spectra8.shape == (cap, 1152) and spectra8.dtype == np.int8
-        assert esc.shape == (cap, ESC_SLOTS, 2) and esc.dtype == np.int16
+        Raises OverflowError if any tail line clipped (never observed on
+        real streams). The overflowed granules were already consumed with
+        CLIPPED values and this parser's position has advanced past them,
+        so recovery means re-parsing the stream from the start with
+        parse_packed_into (decode_corpus_fast does exactly that); this
+        parser should be discarded."""
+        cap = tail8.shape[0]
+        assert tail8.shape == (cap, SP8_TAIL_WIDTH) and tail8.dtype == np.int8
+        assert head16.shape == (cap, HEAD_WIDTH) and head16.dtype == np.int16
         assert side8.shape == (cap, SIDE8_WIDTH) and side8.dtype == np.uint8
-        for a in (spectra8, esc, side8):
+        for a in (tail8, head16, side8):
             assert a.flags.c_contiguous
         n = self._lib.gmp_parse_packed8(
             self._p,
             cap,
-            spectra8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-            _i16p(esc),
+            tail8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            _i16p(head16),
             side8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         )
         if n < 0:
@@ -290,7 +299,7 @@ class NativeParser:
             raise ValueError(f"mp3: native parse failed: {err}")
         if self._lib.gmp_packed8_overflow(self._p):
             raise OverflowError(
-                "mp3: granule exceeded int8 escape slots; use parse_packed_into"
+                "mp3: tail spectra clipped int8; use parse_packed_into"
             )
         return n
 

@@ -1420,22 +1420,25 @@ int gmp_parse_packed(void* pv, int cap, int16_t* spectra, int16_t* side) {
 
 // Parse up to `cap` granules into the int8-quantized device layout — the
 // minimum-byte H2D interface (Huffman magnitudes are < 128 for all but a
-// handful of lines per granule):
-//   spectra8 [cap][1152] i8   clip(value, -128, 127)
-//   esc      [cap][32][2] i16 (line index, value - clipped) escape deltas,
-//                             zero-padded (idx 0, delta 0 slots are no-ops)
-//   side8    [cap][168] u8    bytes 0..43 = the 22 meta words (LE int16,
-//                             all non-negative), 44..87 = scalefac_l i8,
-//                             88..165 = scalefac_s i8, 166..167 pad
-// If a granule needs more than 32 escape slots (never observed on real
-// streams; pathological inputs only) a sticky overflow flag is set; the
-// overflowed granules were emitted with CLIPPED values and the position
-// has advanced past them, so callers must re-parse the stream from the
-// start with gmp_parse_packed and discard this parser. Returns granules
-// produced (0 = end of audio), or -1 on hard error.
-constexpr int kEscSlots = 32;
+// handful of LOW lines per granule — big spectral values live near DC):
+//   head16 [cap][128] i16  per-channel lines 0..63, exact (the dense head
+//                          replaces a scatter-applied escape list: device
+//                          unpack is a pure concatenate, no gather/scatter)
+//   tail8  [cap][1024] i8  per-channel lines 64..575
+//   side8  [cap][168] u8   bytes 0..43 = the 22 meta words (LE int16,
+//                          all non-negative), 44..87 = scalefac_l i8,
+//                          88..165 = scalefac_s i8, 166..167 pad
+// If any tail line has |value| > 127 (never observed on real streams —
+// escapes cluster at low lines; pathological inputs only) a sticky
+// overflow flag is set; the overflowed granules were emitted with CLIPPED
+// values and the position has advanced past them, so callers must
+// re-parse the stream from the start with gmp_parse_packed and discard
+// this parser. Returns granules produced (0 = end of audio), or -1 on
+// hard error.
+constexpr int kHeadLines = 64;
+constexpr int kTailLines = 576 - kHeadLines;
 
-int gmp_parse_packed8(void* pv, int cap, int8_t* spectra8, int16_t* esc,
+int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
                       uint8_t* side8) {
   Parser* p = static_cast<Parser*>(pv);
   if (!stream_ready(p)) return 0;
@@ -1456,55 +1459,37 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* spectra8, int16_t* esc,
     if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
     for (int gr = 0; gr < produced; gr++) {
       const int16_t* src = sp + gr * 1152;
-      int8_t* d8 = spectra8 + (g + gr) * 1152;
-      int16_t* de = esc + (g + gr) * (kEscSlots * 2);
-      memset(de, 0, kEscSlots * 2 * sizeof(int16_t));
-      int ne = 0;
+      int16_t* dh = head16 + (g + gr) * (2 * kHeadLines);
+      int8_t* d8 = tail8 + (g + gr) * (2 * kTailLines);
+      for (int ch = 0; ch < 2; ch++) {
+        memcpy(dh + ch * kHeadLines, src + ch * 576,
+               kHeadLines * sizeof(int16_t));
+        const int16_t* t = src + ch * 576 + kHeadLines;
+        int8_t* d = d8 + ch * kTailLines;
 #ifdef GOMP3_SSE2
-      // saturating narrow 16 values at a time; escapes (saturated lines,
-      // <20/granule on real streams) fix up per mismatching block
-      for (int i = 0; i < 1152; i += 16) {
-        __m128i a = _mm_loadu_si128((const __m128i*)(src + i));
-        __m128i b = _mm_loadu_si128((const __m128i*)(src + i + 8));
-        __m128i pk = _mm_packs_epi16(a, b);
-        _mm_storeu_si128((__m128i*)(d8 + i), pk);
-        // widen the packed bytes back and compare with the originals
-        __m128i lo = _mm_srai_epi16(_mm_unpacklo_epi8(pk, pk), 8);
-        __m128i hi = _mm_srai_epi16(_mm_unpackhi_epi8(pk, pk), 8);
-        int eq = _mm_movemask_epi8(
-            _mm_packs_epi16(_mm_cmpeq_epi16(lo, a), _mm_cmpeq_epi16(hi, b)));
-        if (__builtin_expect(eq != 0xFFFF, 0)) {
-          for (int k = 0; k < 16; k++) {
-            int v = src[i + k];
-            int c = v > 127 ? 127 : (v < -128 ? -128 : v);
-            if (v != c) {
-              if (ne < kEscSlots) {
-                de[2 * ne] = int16_t(i + k);
-                de[2 * ne + 1] = int16_t(v - c);
-                ne++;
-              } else {
-                p->packed8_overflow = true;
-              }
-            }
-          }
+        // saturating narrow 16 values at a time; any clipped tail line
+        // flips the sticky overflow (callers fall back to int16)
+        for (int i = 0; i < kTailLines; i += 16) {
+          __m128i a = _mm_loadu_si128((const __m128i*)(t + i));
+          __m128i b = _mm_loadu_si128((const __m128i*)(t + i + 8));
+          __m128i pk = _mm_packs_epi16(a, b);
+          _mm_storeu_si128((__m128i*)(d + i), pk);
+          // widen the packed bytes back and compare with the originals
+          __m128i lo = _mm_srai_epi16(_mm_unpacklo_epi8(pk, pk), 8);
+          __m128i hi = _mm_srai_epi16(_mm_unpackhi_epi8(pk, pk), 8);
+          int eq = _mm_movemask_epi8(
+              _mm_packs_epi16(_mm_cmpeq_epi16(lo, a), _mm_cmpeq_epi16(hi, b)));
+          if (__builtin_expect(eq != 0xFFFF, 0)) p->packed8_overflow = true;
         }
-      }
 #else
-      for (int i = 0; i < 1152; i++) {
-        int v = src[i];
-        int c = v > 127 ? 127 : (v < -128 ? -128 : v);
-        d8[i] = int8_t(c);
-        if (__builtin_expect(v != c, 0)) {
-          if (ne < kEscSlots) {
-            de[2 * ne] = int16_t(i);
-            de[2 * ne + 1] = int16_t(v - c);
-            ne++;
-          } else {
-            p->packed8_overflow = true;
-          }
+        for (int i = 0; i < kTailLines; i++) {
+          int v = t[i];
+          int c = v > 127 ? 127 : (v < -128 ? -128 : v);
+          d[i] = int8_t(c);
+          if (__builtin_expect(v != c, 0)) p->packed8_overflow = true;
         }
-      }
 #endif
+      }
       const int32_t* mg = meta + gr * 24;
       uint8_t* sd = side8 + (g + gr) * 168;
       int16_t w[22];

@@ -33,7 +33,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..consts import SAMPLES_PER_GR, SIDE_WIDTH  # noqa: re-export (layout contract)
+from ..consts import (  # noqa: re-export (layout contract)
+    HEAD_LINES,
+    SAMPLES_PER_GR,
+    SIDE_WIDTH,
+)
 from . import tables as T
 
 _F32 = jnp.float32
@@ -91,6 +95,37 @@ _E_SHORT = jnp.asarray(T.E_SHORT)  # [6*39, 576]
 _E_SHORT_IS = jnp.asarray(T.E_SHORT_IS)  # [6*39, 576]
 _LINE = jnp.arange(SAMPLES_PER_GR, dtype=jnp.int32)
 _NV = T.N_BAND_VARIANTS
+
+
+def _build_fir_kernel() -> np.ndarray:
+    """The polyphase 512-tap windowed sum as a 16-tap conv kernel.
+
+    acc[r, j] = sum_k vh[16-k+r, off_k + j] * D[32k + j]  (frame.go:655-661
+    re-expressed over the v FIFO) becomes a VALID conv over vh[1:] with
+    window 16: kernel[w, off_{15-w} + j, j] = D[32*(15-w) + j]. The kernel
+    is one-hot in its input features, so the conv computes exactly the same
+    products as the shift loop — but as ONE MXU pass instead of 16 strided
+    HBM passes."""
+    kern = np.zeros((16, 64, 32), np.float32)
+    dtbl = np.asarray(T.SYNTH_DTBL, np.float32)
+    j = np.arange(32)
+    for w in range(16):
+        k = 15 - w
+        off = 0 if k % 2 == 0 else 32
+        kern[w, off + j, j] = dtbl[32 * k : 32 * (k + 1)]
+    return kern
+
+
+_FIR_K = jnp.asarray(_build_fir_kernel())  # [16, 64, 32] WIO
+
+# raw_short placement: s[..., i, j] lands at output sample 6 + 6*i + j
+# (imdct.go windowed short blocks); as a one-hot matmul the 3 overlapping
+# sub-block adds ride the same MXU contraction.
+_SHORT_PLACE_NP = np.zeros((36, 36), np.float32)
+for _i in range(3):
+    for _j in range(12):
+        _SHORT_PLACE_NP[_i * 12 + _j, 6 + 6 * _i + _j] = 1.0
+_SHORT_PLACE = jnp.asarray(_SHORT_PLACE_NP)
 
 
 def _variant_onehot(variant: jax.Array) -> jax.Array:
@@ -285,7 +320,11 @@ def _imdct(b: GranuleBatch, x: jax.Array) -> jax.Array:
     mixed = (b.block_class == T.CLASS_MIXED)[..., None]
     bt_eff = jnp.where(mixed & (sb_idx < 2), 0, bt)  # [T, 2, 32]
 
-    # window select chain (no gather): [T, 2, 32, 36]
+    # window select chain (no gather). NOTE: a one-hot matmul formulation
+    # (bt_onehot @ _IMDCT_WIN) measured slightly faster on v5e but broke
+    # bit-invariance of a granule's PCM to its row position in the chunk
+    # (XLA CPU fuses the windowing multiply differently near the dot),
+    # which the streaming/whole-file identity tests rely on — keep selects.
     win = jnp.zeros((*bt_eff.shape, 36), _F32)
     for k in range(4):
         win = jnp.where((bt_eff == k)[..., None], _IMDCT_WIN[k], win)
@@ -298,9 +337,13 @@ def _imdct(b: GranuleBatch, x: jax.Array) -> jax.Array:
     sub_t = jnp.swapaxes(sub, -1, -2)  # [..., i, m]
     s = jnp.einsum("tcbim,mp->tcbip", sub_t, _COS_N12, precision=_HI)
     s = s * _IMDCT_WIN[2, :12]
-    raw_short = jnp.zeros_like(raw_long)
-    for i in range(3):
-        raw_short = raw_short.at[..., 6 + 6 * i : 18 + 6 * i].add(s[..., i, :])
+    # place + overlap-add the 3 windowed sub-blocks in one one-hot matmul
+    raw_short = jnp.einsum(
+        "tcbq,qp->tcbp",
+        s.reshape(*s.shape[:3], 36),
+        _SHORT_PLACE,
+        precision=_HI,
+    )
 
     return jnp.where(bt_eff[..., None] == 2, raw_short, raw_long)
 
@@ -406,35 +449,38 @@ def batch_from_packed(spectra2: jax.Array, side: jax.Array) -> GranuleBatch:
 
 
 def batch_from_packed8(
-    spectra8: jax.Array, esc: jax.Array, side8: jax.Array
+    tail8: jax.Array, head16: jax.Array, side8: jax.Array
 ) -> GranuleBatch:
     """int8-quantized interface -> GranuleBatch (native/lib.py SIDE8 layout).
 
-    spectra8 i8 [T, 1152] clipped magnitudes; esc i16 [T, K, 2] (line idx,
-    delta) pairs restoring the few |x| > 127 lines (zero slots are no-ops:
-    scatter-add of 0 at line 0); side8 u8 [T, 168] = 22 LE int16 meta words
-    (all non-negative) + int8 scalefactors."""
-    base = spectra8.astype(jnp.int16)
-    idx = esc[:, :, 0].astype(jnp.int32)
-    delta = esc[:, :, 1]
-    spec = jax.vmap(lambda b, i, d: b.at[i].add(d, mode="drop"))(
-        base, idx, delta
-    )
+    tail8 i8 [T, 1024] per-channel lines 64..575; head16 i16 [T, 128]
+    per-channel lines 0..63, exact (the only region where |value| > 127
+    occurs on real streams — the host parser falls back to the int16
+    interface otherwise). The unpack is a pure widen + concatenate: no
+    gather/scatter (scatter-applied escape deltas measured ~5 ms/chunk at
+    bench shapes on v5e — a quarter of the whole chain). side8 u8 [T, 168]
+    = 22 LE int16 meta words (all non-negative) + int8 scalefactors."""
+    t_dim = tail8.shape[0]
+    head = head16.reshape(t_dim, 2, HEAD_LINES)
+    tail = tail8.reshape(
+        t_dim, 2, SAMPLES_PER_GR - HEAD_LINES
+    ).astype(jnp.int16)
+    spec = jnp.concatenate([head, tail], axis=-1)  # [T, 2, 576]
     u = side8.astype(jnp.int32)
     meta_words = u[:, 0:44:2] | (u[:, 1:44:2] << 8)  # [T, 22]
     s = jnp.concatenate([meta_words, u[:, 44:166]], axis=1)  # [T, 144]
-    return _batch_from_side_words(spec, s)
+    return _batch_from_side_words(spec.reshape(t_dim, 1152), s)
 
 
 def decode_chunk_packed8_impl(
-    spectra8: jax.Array,
-    esc: jax.Array,
+    tail8: jax.Array,
+    head16: jax.Array,
     side8: jax.Array,
     state: DecodeState,
     valid: jax.Array,
 ) -> tuple[jax.Array, DecodeState]:
     """decode_chunk_impl over the int8-quantized host interface."""
-    return decode_chunk_impl(batch_from_packed8(spectra8, esc, side8), state, valid)
+    return decode_chunk_impl(batch_from_packed8(tail8, head16, side8), state, valid)
 
 
 def decode_chunk_packed_impl(
@@ -453,7 +499,7 @@ decode_chunk_packed = jax.jit(decode_chunk_packed_impl)
 # Packed-interface batch decode: ([S,T,1152], [S,T,144], states, valid[S])
 decode_chunk_packed_batch = jax.jit(jax.vmap(decode_chunk_packed_impl))
 
-# int8-quantized batch decode: ([S,T,1152] i8, [S,T,K,2] i16, [S,T,168] u8)
+# int8-quantized batch decode: ([S,T,1024] i8, [S,T,128] i16, [S,T,168] u8)
 decode_chunk_packed8_batch = jax.jit(jax.vmap(decode_chunk_packed8_impl))
 
 # Multi-stream batch decode (vmap over a leading stream axis):

@@ -189,8 +189,8 @@ def _decode_chunk_pallas_impl(
 
 
 def decode_chunk_packed8_pallas_impl(
-    spectra8: jax.Array,
-    esc: jax.Array,
+    tail8: jax.Array,
+    head16: jax.Array,
     side8: jax.Array,
     state: DecodeState,
     valid: jax.Array,
@@ -201,7 +201,7 @@ def decode_chunk_packed8_pallas_impl(
     from .granule import batch_from_packed8
 
     return _decode_chunk_pallas_impl(
-        batch_from_packed8(spectra8, esc, side8), state, valid, interpret
+        batch_from_packed8(tail8, head16, side8), state, valid, interpret
     )
 
 

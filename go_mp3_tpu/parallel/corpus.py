@@ -56,8 +56,9 @@ def decode_corpus_fast(
 ):
     """High-throughput corpus decode: the production pipeline.
 
-    C++ packed parse (gmp_parse_packed8: int8 spectra + escape deltas +
-    byte sidecar — the minimal-byte device interface) -> asynchronous
+    C++ packed parse (gmp_parse_packed8: int8 tail spectra + exact int16
+    head plane + byte sidecar — the minimal-byte device interface) ->
+    asynchronous
     line-major uploads (measured ~32% cheaper through compressing links
     than granule-major) -> ONE jitted lax.scan over all chunks with the
     DSP state as carry (amortizes per-execute dispatch latency).
@@ -71,7 +72,7 @@ def decode_corpus_fast(
     valids [C,S] np.ndarray) for on-device consumption).
 
     Falls back to the int16 packed interface if a (pathological) stream
-    overflows the int8 escape slots.
+    clips the int8 tail plane (|value| > 127 past per-channel line 64).
 
     Pass a jax.sharding.Mesh (1-D, axis 'streams' — see mesh.make_mesh) to
     shard the stream axis across chips: streams are independent, so the
@@ -81,7 +82,13 @@ def decode_corpus_fast(
     import jax
     import jax.numpy as jnp
 
-    from ..native.lib import ESC_SLOTS, SIDE8_WIDTH, SIDE_WIDTH, NativeParser
+    from ..native.lib import (
+        HEAD_WIDTH,
+        SIDE8_WIDTH,
+        SIDE_WIDTH,
+        SP8_TAIL_WIDTH,
+        NativeParser,
+    )
     from ..ops.granule import decode_chunk_packed8_impl, decode_chunk_packed_impl
 
     n_streams = len(stream_bytes)
@@ -104,8 +111,8 @@ def decode_corpus_fast(
     def parse_all(int8: bool):
         parsers = [NativeParser(d) for d in stream_bytes]
         if int8:
-            sp8 = np.empty((n_streams, chunk_t, 1152), np.int8)
-            esc = np.empty((n_streams, chunk_t, ESC_SLOTS, 2), np.int16)
+            sp8 = np.empty((n_streams, chunk_t, SP8_TAIL_WIDTH), np.int8)
+            head = np.empty((n_streams, chunk_t, HEAD_WIDTH), np.int16)
             side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
         else:
             sp16 = np.empty((n_streams, chunk_t, 1152), np.int16)
@@ -116,14 +123,14 @@ def decode_corpus_fast(
                 valids = np.zeros(n_streams, np.int32)
                 for s, p in enumerate(parsers):
                     if int8:
-                        n = p.parse_packed8_into(sp8[s], esc[s], side[s])
+                        n = p.parse_packed8_into(sp8[s], head[s], side[s])
                     else:
                         n = p.parse_packed_into(sp16[s], side16[s])
                     valids[s] = n
                     if n < chunk_t:
                         if int8:
                             sp8[s, n:] = 0
-                            esc[s, n:] = 0
+                            head[s, n:] = 0
                             side[s, n:] = 0
                         else:
                             sp16[s, n:] = 0
@@ -138,7 +145,7 @@ def decode_corpus_fast(
                     )
                 )
                 aux_chunks.append(
-                    (esc.copy(), side.copy()) if int8 else (side16.copy(),)
+                    (head.copy(), side.copy()) if int8 else (side16.copy(),)
                 )
                 valid_rows.append(valids.copy())
         finally:

@@ -8,6 +8,7 @@ full-compliance bounds (RMS < 0.289 LSB, maxdiff <= 2) validates both.
 import io
 
 import numpy as np
+import pytest
 
 from go_mp3_tpu.bitstream import Source
 from go_mp3_tpu.bitstream.parser import FrameReader
@@ -79,6 +80,70 @@ def test_chunking_invariance(fixture_classic_lame):
         pcm += sd.decode_pending(flush=True)
         outs.append(pcm)
     assert outs[0] == outs[1] == outs[2]
+
+
+def test_chunking_invariance_deep(fixture_classic_lame):
+    """A granule's PCM must not depend on its row position in the chunk:
+    decoding 768 granules split at arbitrary (odd, mid-frame, short-block-
+    heavy) boundaries is byte-identical to uniform 128-granule chunks.
+    Regression: a one-hot-matmul IMDCT window formulation was ~0.5 ms/chunk
+    faster on v5e but broke exactly this (XLA fused the windowing multiply
+    differently near the dot), silently desyncing streaming vs whole-file
+    decode by 1 LSB on a handful of samples."""
+    import jax.numpy as jnp
+
+    import go_mp3_tpu.ops.granule as G
+    from go_mp3_tpu.native.lib import SIDE_WIDTH, NativeParser
+
+    try:
+        from go_mp3_tpu.native import lib as native
+
+        if not native.available():
+            pytest.skip("native lib not built")
+    except Exception:
+        pytest.skip("native lib not built")
+
+    total = 768
+    sp = np.zeros((total, 1152), np.int16)
+    sd = np.zeros((total, SIDE_WIDTH), np.int16)
+    p = NativeParser(fixture_classic_lame)
+    got = 0
+    while got < total:
+        n = p.parse_packed_into(sp[got:], sd[got:])
+        if n == 0:
+            break
+        got += n
+    p.close()
+    assert got >= total
+
+    import jax
+
+    f = jax.jit(G.decode_chunk_packed_impl)
+    cap = 128
+
+    def run(cuts):
+        bounds, lo = [], 0
+        for hi in sorted(set(cuts) | {total}):
+            while lo < hi:
+                step = min(cap, hi - lo)
+                bounds.append((lo, lo + step))
+                lo += step
+        st = G.init_state()
+        out = []
+        for lo_, hi_ in bounds:
+            cs = np.zeros((cap, 1152), np.int16)
+            cd = np.zeros((cap, SIDE_WIDTH), np.int16)
+            cs[: hi_ - lo_] = sp[lo_:hi_]
+            cd[: hi_ - lo_] = sd[lo_:hi_]
+            pcm, st = f(jnp.asarray(cs), jnp.asarray(cd), st,
+                        jnp.int32(hi_ - lo_))
+            out.append(np.asarray(pcm)[: (hi_ - lo_) * 576])
+        return np.concatenate(out)
+
+    ref = run([])
+    for cut in (37, 85, 168, 291, 340, 505, 699):
+        got_pcm = run([cut])
+        assert np.array_equal(ref, got_pcm), f"cut at granule {cut}"
 
 
 def test_padding_does_not_leak(fixture_classic_lame):

@@ -210,13 +210,18 @@ def test_sharded_packed_decoder_on_mesh(fixture_classic_lame):
 
 
 def test_packed8_interface_matches_legacy(fixture_classic_lame, fixture_mpeg2):
-    """The int8-quantized interface (clip + escape deltas + byte sidecar)
-    reconstructs bit-identical GranuleBatches; mpeg2 exercises real escapes
-    (granules with |x| > 127)."""
+    """The int8-quantized interface (int16 head plane + int8 tail + byte
+    sidecar) reconstructs bit-identical GranuleBatches; mpeg2 exercises real
+    |x| > 127 values (which must land in the head plane)."""
     import jax.numpy as jnp
 
     from go_mp3_tpu.models.native_pipeline import granule_batch_from_native
-    from go_mp3_tpu.native.lib import ESC_SLOTS, SIDE8_WIDTH, NativeParser
+    from go_mp3_tpu.native.lib import (
+        HEAD_WIDTH,
+        SIDE8_WIDTH,
+        SP8_TAIL_WIDTH,
+        NativeParser,
+    )
     from go_mp3_tpu.ops.granule import batch_from_packed8
 
     for data in (fixture_classic_lame, fixture_mpeg2):
@@ -226,23 +231,23 @@ def test_packed8_interface_matches_legacy(fixture_classic_lame, fixture_mpeg2):
         n = sp.shape[0]
 
         q = NativeParser(data)
-        sp8 = np.zeros((n + 2, 1152), np.int8)
-        esc = np.zeros((n + 2, ESC_SLOTS, 2), np.int16)
+        sp8 = np.zeros((n + 2, SP8_TAIL_WIDTH), np.int8)
+        head = np.zeros((n + 2, HEAD_WIDTH), np.int16)
         sd8 = np.zeros((n + 2, SIDE8_WIDTH), np.uint8)
         got = 0
         while True:
-            k = q.parse_packed8_into(sp8[got:], esc[got:], sd8[got:])
+            k = q.parse_packed8_into(sp8[got:], head[got:], sd8[got:])
             if k == 0:
                 break
             got += k
         q.close()
         assert got == n
         if data is not fixture_classic_lame:
-            assert (np.abs(sp.reshape(n, 1152)) > 127).any(), "want escapes"
+            assert (np.abs(sp.reshape(n, 1152)) > 127).any(), "want |x| > 127"
 
         legacy, _ = granule_batch_from_native(sp, sl, ss, me)
         packed = batch_from_packed8(
-            jnp.asarray(sp8[:n]), jnp.asarray(esc[:n]), jnp.asarray(sd8[:n])
+            jnp.asarray(sp8[:n]), jnp.asarray(head[:n]), jnp.asarray(sd8[:n])
         )
         for f in legacy._fields:
             assert np.array_equal(

@@ -106,10 +106,10 @@ def test_decode_corpus_fast_sharded_matches_unsharded(fixture_classic_lame):
 
 
 def test_decode_corpus_fast_escape_overflow_fallback():
-    """A stream whose granules exceed the int8 interface's 32 escape slots
-    (40 lines with |x| > 127 per granule, hand-built via Huffman table 23
-    linbits escapes) must fall back to the int16 packed interface and still
-    produce byte-identical PCM to the per-stream device Decoder."""
+    """A stream whose granules clip the int8 tail plane (lines 64..79
+    carry |x| > 127, hand-built via Huffman table 23 linbits escapes) must
+    fall back to the int16 packed interface and still produce
+    byte-identical PCM to the per-stream device Decoder."""
     from util_synth import escape_heavy_frame
 
     from go_mp3_tpu import Decoder

@@ -217,8 +217,9 @@ def low_bitrate_mpeg2_stream(n_fillers: int = 19, n_trailing: int = 6):
 def escape_heavy_frame(n_pairs: int = 20, linbit_value: int = 4000) -> bytes:
     """A valid MONO MPEG-1 Layer III frame whose two granules each carry
     `n_pairs` big-value pairs of (15+linbit, 15+linbit) via Huffman table 23
-    (linbits 13) — every coded line has |x| > 127, far past the int8
-    interface's 32 escape slots. Exercises the packed8 overflow fallback."""
+    (linbits 13) — every coded line has |x| > 127, reaching past the int8
+    interface's exact int16 head plane (per-channel lines 0..63) into the
+    int8 tail. Exercises the packed8 overflow fallback."""
     from go_mp3_tpu.bitstream.huffman_tables import TABLES
 
     book, linbits = TABLES[23]

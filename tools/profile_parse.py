@@ -23,10 +23,11 @@ sys.path.insert(0, "/root/repo")
 
 from go_mp3_tpu.consts import SAMPLES_PER_GR
 from go_mp3_tpu.native.lib import (
-    ESC_SLOTS,
+    HEAD_WIDTH,
     META_WIDTH,
     SIDE8_WIDTH,
     SIDE_WIDTH,
+    SP8_TAIL_WIDTH,
     NativeParser,
     index_stream,
 )
@@ -59,8 +60,8 @@ def main() -> None:
     meta = np.zeros((cap, META_WIDTH), np.int32)
     spp = np.zeros((cap, 1152), np.int16)
     sdp = np.zeros((cap, SIDE_WIDTH), np.int16)
-    sp8 = np.zeros((cap, 1152), np.int8)
-    esc = np.zeros((cap, ESC_SLOTS, 2), np.int16)
+    sp8 = np.zeros((cap, SP8_TAIL_WIDTH), np.int8)
+    esc = np.zeros((cap, HEAD_WIDTH), np.int16)
     sd8 = np.zeros((cap, SIDE8_WIDTH), np.uint8)
 
     for name, data, sr in corpora:
