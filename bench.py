@@ -68,15 +68,6 @@ def main() -> None:
     from go_mp3_tpu.parallel.mesh import init_states
 
     chunk_fn = decode_chunk_packed8_impl
-    if os.environ.get("GOMP3_USE_PALLAS"):
-        import functools
-
-        from go_mp3_tpu.ops.pallas_synth import decode_chunk_packed8_pallas_impl
-
-        chunk_fn = functools.partial(
-            decode_chunk_packed8_pallas_impl, interpret=False
-        )
-        log("using fused Pallas synthesis kernel")
 
     classic = open("/root/reference/example/classic_lame.mp3", "rb").read() * 4
     mpeg2 = open("/root/reference/example/mpeg2.mp3", "rb").read()
