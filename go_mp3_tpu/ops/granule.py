@@ -361,7 +361,13 @@ def _polyphase(
     """frame.go:630-661 re-expressed as matmul + 16-tap FIR over v-vectors.
 
     x18: [T, 2, 32, 18] hybrid output. Returns (pcm_f32 [2, T*18, 32],
-    v_history [2, 16 + T*18, 64])."""
+    v_history [2, 16 + T*18, 64]).
+
+    The 16-tap FIR stays a slice loop on purpose: every alternative was
+    measured slower or at parity on v5e at bench shapes (full conv 21.5
+    ms/chunk, blocked dual matmul 10.3, depthwise conv ~parity, Pallas
+    VMEM kernels 15.2 fused / parity FIR-only vs 14-16 ms for the whole
+    XLA chain) — XLA's own fusion already schedules this well."""
     t_dim = x18.shape[0]
     s = jnp.swapaxes(x18, -1, -2)  # [T, 2, 18, 32]  (ss-major)
     v = jnp.einsum("tcsj,ij->tcsi", s, _SYNTH_N_WIN, precision=_HI)
