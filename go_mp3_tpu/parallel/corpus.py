@@ -53,6 +53,7 @@ def decode_corpus_fast(
     chunk_t: int = 256,
     fetch: bool = True,
     mesh=None,
+    drain: int | None = None,
 ):
     """High-throughput corpus decode: the production pipeline.
 
@@ -73,6 +74,14 @@ def decode_corpus_fast(
 
     Falls back to the int16 packed interface if a (pathological) stream
     clips the int8 tail plane (|value| > 127 past per-channel line 64).
+
+    drain: segment size in chunks. By default the whole corpus's PCM
+    ([C, S, chunk_t*576, 2] int16) lives in device memory until fetched —
+    ~45 MB per chunk at the default shapes, capping corpus length by HBM.
+    With drain=k the corpus decodes in segments of k chunks through ONE
+    compiled k-chunk scan (DSP state carried across segments), and each
+    segment's PCM is fetched while the NEXT segment computes — device
+    memory stays O(k), flat in corpus length. Requires fetch=True.
 
     Pass a jax.sharding.Mesh (1-D, axis 'streams' — see mesh.make_mesh) to
     shard the stream axis across chips: streams are independent, so the
@@ -195,17 +204,57 @@ def decode_corpus_fast(
         )
         return pcms, states
 
+    def emit(parts, host, valids_seg):
+        for c in range(valids_seg.shape[0]):
+            for s in range(n_streams):
+                v = int(valids_seg[c, s])
+                if v:
+                    parts[s].append(
+                        host[c, s, : v * SAMPLES_PER_GR].tobytes()
+                    )
+
+    n_chunks = len(sp_chunks)
+    if drain is not None and fetch and drain < n_chunks:
+        # segment the corpus through ONE k-chunk compiled scan; fetch each
+        # segment's PCM while the next segment computes (the device works
+        # under the blocking host-side np.asarray of the previous segment)
+        k = drain
+        parts: list[list[bytes]] = [[] for _ in range(n_streams)]
+        pad_sp = jnp.zeros_like(sp_chunks[0])
+        pad_aux = tuple(jnp.zeros_like(a[0]) for a in aux_all)
+        pending = None  # (pcms on device, valids of that segment)
+        for lo in range(0, n_chunks, k):
+            seg = slice(lo, min(lo + k, n_chunks))
+            n_pad = k - (seg.stop - seg.start)
+            sp_seg = sp_chunks[seg] + [pad_sp] * n_pad
+            aux_seg = tuple(
+                jnp.concatenate(
+                    [a[seg]] + [p[None]] * n_pad, axis=0
+                ) if n_pad else a[seg]
+                for a, p in zip(aux_all, pad_aux)
+            )
+            v_seg = np.zeros((k, n_streams), np.int32)
+            v_seg[: seg.stop - seg.start] = valids[seg]
+            pcms_dev, states = scan_corpus(sp_seg, aux_seg, states, v_seg)
+            if pending is not None:
+                emit(parts, np.asarray(pending[0]), pending[1])
+            pending = (pcms_dev, v_seg)
+        if pending is not None:
+            emit(parts, np.asarray(pending[0]), pending[1])
+        total = int(valids.sum())
+        return CorpusResult(
+            pcm=[b"".join(p) for p in parts],
+            granules=total,
+            samples=total * SAMPLES_PER_GR,
+        )
+
     pcms, _ = scan_corpus(sp_chunks, aux_all, states, valids)
     if not fetch:
         return pcms, valids
 
     host = np.asarray(pcms)  # [C, S, chunk_t*576, 2]
-    parts: list[list[bytes]] = [[] for _ in range(n_streams)]
-    for c in range(valids.shape[0]):
-        for s in range(n_streams):
-            v = int(valids[c, s])
-            if v:
-                parts[s].append(host[c, s, : v * SAMPLES_PER_GR].tobytes())
+    parts = [[] for _ in range(n_streams)]
+    emit(parts, host, valids)
     total = int(valids.sum())
     return CorpusResult(
         pcm=[b"".join(p) for p in parts],

@@ -105,6 +105,26 @@ def test_decode_corpus_fast_sharded_matches_unsharded(fixture_classic_lame):
     assert sharded.pcm == ref.pcm
 
 
+def test_decode_corpus_fast_chunked_drain(fixture_classic_lame, fixture_mpeg2):
+    """drain=k segments the corpus through one k-chunk compiled scan and
+    fetches each segment while the next computes: byte-identical output to
+    the whole-corpus scan (incl. the zero-padded final segment), with
+    device-resident PCM bounded at O(k) instead of O(corpus)."""
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    streams = [fixture_classic_lame * 2, fixture_mpeg2[: len(fixture_mpeg2) // 2]]
+    ref = decode_corpus_fast(streams, chunk_t=64)
+    got = decode_corpus_fast(streams, chunk_t=64, drain=4)
+    assert got.granules == ref.granules
+    assert got.pcm == ref.pcm
+
+    # a 4x-longer corpus decodes through the same k-chunk program
+    streams4 = [fixture_classic_lame * 8, fixture_mpeg2]
+    ref4 = decode_corpus_fast(streams4, chunk_t=64)
+    got4 = decode_corpus_fast(streams4, chunk_t=64, drain=4)
+    assert got4.pcm == ref4.pcm
+
+
 def test_decode_corpus_fast_escape_overflow_fallback():
     """A stream whose granules clip the int8 tail plane (lines 64..79
     carry |x| > 127, hand-built via Huffman table 23 linbits escapes) must
