@@ -123,6 +123,7 @@ SF_BAND_INDICES = (
 # native/mp3parse.cpp emitters (via native/lib.py) and the device unpackers
 # (ops/granule.py). See native/lib.py for the field maps.
 # ---------------------------------------------------------------------------
+META_WIDTH = 24  # int32 meta words per granule (native raw interface)
 SIDE_WIDTH = 144  # int16 words per granule: 22 meta + 44 sfl + 78 sfs
 SIDE8_WIDTH = 168  # bytes per granule: 44 meta (LE i16) + 44 sfl + 78 sfs + 2
 # int8 interface: a dense int16 HEAD plane carries per-channel lines

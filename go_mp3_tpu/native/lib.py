@@ -19,12 +19,12 @@ _SO = _DIR / "libmp3parse.so"
 
 from ..consts import (  # single source
     HEAD_WIDTH,
+    META_WIDTH,
     SIDE8_WIDTH,
     SIDE_WIDTH,
     SP8_TAIL_WIDTH,
 )
 
-META_WIDTH = 24
 # packed sidecar layout (must match mp3parse.cpp gmp_parse_packed emit):
 # one int16[SIDE_WIDTH] word vector per granule carrying all metadata +
 # scalefactors; words 0..21 mirror the META_* slots, then scalefactors.
