@@ -103,6 +103,11 @@ def test_decode_corpus_fast_sharded_matches_unsharded(fixture_classic_lame):
     ref = decode_corpus_fast(streams, chunk_t=32)
     sharded = decode_corpus_fast(streams, chunk_t=32, mesh=make_mesh())
     assert sharded.pcm == ref.pcm
+    # chunked drain composes with mesh sharding (state/PCM stay sharded)
+    drained = decode_corpus_fast(
+        streams, chunk_t=32, mesh=make_mesh(), drain=2
+    )
+    assert drained.pcm == ref.pcm
 
 
 def test_decode_corpus_fast_chunked_drain(fixture_classic_lame, fixture_mpeg2):
