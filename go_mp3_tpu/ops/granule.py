@@ -367,10 +367,27 @@ def _polyphase(
     measured slower or at parity on v5e at bench shapes (full conv 21.5
     ms/chunk, blocked dual matmul 10.3, depthwise conv ~parity, Pallas
     VMEM kernels 15.2 fused / parity FIR-only vs 14-16 ms for the whole
-    XLA chain) — XLA's own fusion already schedules this well."""
+    XLA chain) — XLA's own fusion already schedules this well.
+
+    Round-3 negative result, for the record: composing N with the D taps
+    offline into out[g] = s[g] @ M0 + s[g-1] @ M1 (two dense 576x576
+    dots, x_prev carried instead of the v FIFO; also tried as a window-2
+    conv over the granule axis) measured only 2.4-2.7 -> 2.0-2.4
+    ms/chunk in isolation and ZERO gain in the full chain (13.1 ms both
+    ways — the chain is bound elsewhere), while the 576-long contraction
+    made chunk-initial rows round 1 ulp differently from mid-chunk rows
+    once XLA fused the x18 producer into the dot operands (CPU backend;
+    optimization_barrier did not stop it). That broke the bit-invariance
+    of a granule's PCM to chunk boundaries (test_dsp_parity
+    test_chunking_invariance_deep) exactly like the IMDCT one-hot window
+    formulation (see _imdct). The small-contraction einsum + elementwise
+    FIR below is structurally immune: every contraction is <= 64 wide
+    and shape-independent."""
     t_dim = x18.shape[0]
-    s = jnp.swapaxes(x18, -1, -2)  # [T, 2, 18, 32]  (ss-major)
-    v = jnp.einsum("tcsj,ij->tcsi", s, _SYNTH_N_WIN, precision=_HI)
+    # contract straight over x18's subband axis — same products and dot
+    # order as transposing first (bit-identical), but no explicit
+    # swapaxes op for XLA to materialize as a [T,2,18,32] relayout copy
+    v = jnp.einsum("tcjs,ij->tcsi", x18, _SYNTH_N_WIN, precision=_HI)
     rows = t_dim * 18
     vf = v.transpose(1, 0, 2, 3).reshape(2, rows, 64)
     # history rows oldest-first then the new rows
