@@ -198,8 +198,13 @@ struct QuadLut {
 // advance (codeword + sign bits) comes out of the same entry — the next
 // symbol's window position depends on a single L1 load. Entry format:
 //   bit 15      slow: escape codes (linbits), codes whose codeword+signs
-//               exceed the index width, or junk windows — fall back to the
-//               exact two-level path
+//               exceed the index width, or junk windows
+//   bit 14      (with bit 15) direct: the codeword itself fits the index,
+//               so the entry carries (len, |x|, |y|) and the slow path
+//               skips the two-level lookup — bits 8..11 len, 4..7 x, 0..3 y.
+//               Escape-heavy tables (24..30, linbits) have maxlen <= 12, so
+//               ALL their slow symbols decode this way: one L1 load plus
+//               branchless linbits/sign, no dependent prim->sec chain.
 //   bits 10..13 advance in bits (codeword + sign bits, <= index width)
 //   bits 5..9   x + 15   (signed value in -15..15)
 //   bits 0..4   y + 15
@@ -276,7 +281,16 @@ struct FastLuts {
       bool esc = has_linbits && (e.x == 15 || e.y == 15);
       int nsign = (e.x != 0) + (e.y != 0);
       int adv = e.len + nsign;
-      if (esc || adv > pb) continue;  // slow
+      if (esc || adv > pb) {  // slow; bake a direct entry when possible
+        if (e.len <= pb) {
+          uint16_t val = uint16_t(0xC000u | (uint32_t(e.len) << 8) |
+                                  (uint32_t(e.x) << 4) | e.y);
+          size_t lo = size_t(e.code) << (pb - e.len);
+          size_t hi = size_t(e.code + 1) << (pb - e.len);
+          for (size_t w = lo; w < hi; w++) out->lut[w] = val;
+        }
+        continue;
+      }
       for (int s = 0; s < (1 << nsign); s++) {
         int sx = e.x, sy = e.y;
         int bit = nsign - 1;  // first sign bit after the code is x's
@@ -809,22 +823,10 @@ struct Parser {
     L.active = false;
   }
 
-  // Exact single-symbol decode through the two-level LUT, for codes the
-  // sign-baked table marks slow (linbits escapes, codewords whose
-  // code+signs exceed the 12-bit index, junk windows).
-  static void decode_pair_slow(HuffLane& L, uint64_t w64) {
-    const PairLut& tl = *L.lut[L.seg];
-    const int lb = L.lb[L.seg];
-    int64_t pos = L.pos;
-    uint16_t e = tl.prim[w64 >> (64 - tl.prim_bits)];
-    if (e & 0x8000u)
-      e = tl.sec[(e & 0x7FFFu) +
-                 uint32_t((w64 << tl.prim_bits) >> (64 - tl.sec_shift))];
-    int len = (e >> 8) & 0x1F;
-    pos += len;
-    int x = (e >> 4) & 0xF;
-    int y = e & 0xF;
-    uint64_t rest = w64 << len;
+  // Linbits/sign tail shared by the slow decodes: `rest` is the window
+  // shifted past the codeword, `pos` the bit position after it.
+  static inline void finish_pair(HuffLane& L, uint64_t rest, int64_t pos,
+                                 int x, int y, int lb) {
     if (lb) {
       if (x == 15) {
         x += int(rest >> (64 - lb));
@@ -860,6 +862,20 @@ struct Parser {
     L.out[L.is_pos] = int16_t(x);
     L.out[L.is_pos + 1] = int16_t(y);
     L.is_pos += 2;
+  }
+
+  // Exact single-symbol decode through the two-level LUT, for codes the
+  // sign-baked table marks slow without a direct entry (codewords longer
+  // than the 12-bit index, junk windows).
+  static void decode_pair_slow(HuffLane& L, uint64_t w64) {
+    const PairLut& tl = *L.lut[L.seg];
+    uint16_t e = tl.prim[w64 >> (64 - tl.prim_bits)];
+    if (e & 0x8000u)
+      e = tl.sec[(e & 0x7FFFu) +
+                 uint32_t((w64 << tl.prim_bits) >> (64 - tl.sec_shift))];
+    int len = (e >> 8) & 0x1F;
+    finish_pair(L, w64 << len, L.pos + len, (e >> 4) & 0xF, e & 0xF,
+                L.lb[L.seg]);
   }
 
   // One fast decode step for a lane: up to TWO symbols from one 64-bit
@@ -898,7 +914,13 @@ struct Parser {
       uint64_t w64 = BitReader::be64(buf + (L.pos >> 3)) << (L.pos & 7);
       uint32_t e = lut[w64 >> (64 - sbits)];
       if (__builtin_expect(e & 0x8000u, 0)) {
-        decode_pair_slow(L, w64);
+        if (e & 0x4000u) {  // direct: (len, |x|, |y|) from this same load
+          int len = int(e >> 8) & 0xF;
+          finish_pair(L, w64 << len, L.pos + len, int(e >> 4) & 0xF,
+                      int(e) & 0xF, L.lb[L.seg]);
+        } else {
+          decode_pair_slow(L, w64);
+        }
         return;
       }
       uint32_t adv = e >> 10;
