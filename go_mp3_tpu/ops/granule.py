@@ -41,7 +41,17 @@ from ..consts import (  # noqa: re-export (layout contract)
 from . import tables as T
 
 _F32 = jnp.float32
+# Two precision knobs, split by the role of the matmul:
+#  _HI      real-valued weight matmuls (IMDCT cosines, synthesis N window):
+#           HIGHEST = full f32 MXU emulation, needed for the <= 1-2 LSB
+#           device-vs-exact gates (test_stage_parity, test_golden).
+#  _HI_OH   one-hot / placement matmuls (band expansion, window select,
+#           short-block placement): weights are exactly 0.0 / 1.0, so any
+#           bf16-multipass scheme that splits f32 operands exactly
+#           (bf16x3) reproduces the f32 result bit-for-bit — candidates
+#           for a cheaper setting once verified on real TPU hardware.
 _HI = jax.lax.Precision.HIGHEST
+_HI_OH = jax.lax.Precision.HIGHEST
 
 
 class GranuleBatch(NamedTuple):
@@ -149,17 +159,22 @@ def _expand_bands(values: jax.Array, vh: jax.Array, e: jax.Array) -> jax.Array:
     """
     t_dim, c_dim, b_dim = values.shape
     # big[t, c, v*B + b] = values[t, c, b] * vh[t, v]
+    # NOTE: jnp.repeat kept on purpose — the repeat's gather materializes
+    # this dot operand, a fusion barrier that shields the dot's codegen
+    # from chunk-shape-dependent operand fusion (the known 1-LSB
+    # chunk-invariance hazard, see _polyphase docstring). It is tiny
+    # ([T, 6B]); a broadcast+reshape would save nothing measurable.
     vh_rep = jnp.repeat(vh, b_dim, axis=-1)  # [T, 6B]
     big = jnp.tile(values, (1, 1, _NV)) * vh_rep[:, None, :]
     out = jnp.dot(
-        big.reshape(t_dim * c_dim, _NV * b_dim), e, precision=_HI
+        big.reshape(t_dim * c_dim, _NV * b_dim), e, precision=_HI_OH
     )
     return out.reshape(t_dim, c_dim, e.shape[1])
 
 
 def _select_by_variant(vh: jax.Array, table: jax.Array) -> jax.Array:
     """[T,6] one-hot x [6, N] constant -> [T, N] (tiny matmul, no gather)."""
-    return jnp.einsum("tv,vn->tn", vh, table.astype(_F32), precision=_HI)
+    return jnp.einsum("tv,vn->tn", vh, table.astype(_F32), precision=_HI_OH)
 
 
 def _line_is_long(cls: jax.Array) -> jax.Array:
@@ -342,7 +357,7 @@ def _imdct(b: GranuleBatch, x: jax.Array) -> jax.Array:
         "tcbq,qp->tcbp",
         s.reshape(*s.shape[:3], 36),
         _SHORT_PLACE,
-        precision=_HI,
+        precision=_HI_OH,
     )
 
     return jnp.where(bt_eff[..., None] == 2, raw_short, raw_long)
@@ -408,6 +423,12 @@ def decode_chunk_impl(
 
     `valid` is the number of real granules (the rest are padding); output
     rows past valid*576 are garbage and must be discarded by the caller.
+
+    (A channel-major [2, T*576] output variant was measured on v5e at
+    bench shapes and was NEUTRAL — XLA folds the final transpose into
+    the consumer — so no separate interface exists for it. What was NOT
+    neutral: jnp.repeat for the mono row mask, see below.)
+
     """
     x = _requantize(b)
     x = _stereo(b, x)
@@ -421,7 +442,15 @@ def decode_chunk_impl(
     samp = jnp.clip(pcm_f * 32767.0, -32767.0, 32767.0).astype(jnp.int32)
     pcm = samp.astype(jnp.int16).reshape(2, t_dim * SAMPLES_PER_GR)
     pcm = jnp.swapaxes(pcm, 0, 1)  # [T*576, 2]
-    mono_rows = jnp.repeat(b.mono, SAMPLES_PER_GR, total_repeat_length=t_dim * SAMPLES_PER_GR)
+    # broadcast+reshape, NOT jnp.repeat: repeat lowers to a gather (+
+    # scatter-add under vmap) over the 147k sample axis — measured ~3
+    # ms/chunk at bench shapes, a quarter of the whole DSP chain. (Do not
+    # move the select before the swapaxes either: reordering the output
+    # chain re-layouts the polyphase einsum's codegen and moved single
+    # samples by 1 LSB between chunk shapes.)
+    mono_rows = jnp.broadcast_to(
+        b.mono[:, None], (t_dim, SAMPLES_PER_GR)
+    ).reshape(t_dim * SAMPLES_PER_GR)
     pcm = jnp.where(mono_rows[:, None], pcm[:, :1], pcm)
 
     # state after `valid` granules
