@@ -1024,7 +1024,17 @@ struct Parser {
   //  - decoding 2-3 FRAMES' lanes together (8-12 lanes, frame group
   //    pipelining with reservoir rollback) measured ~10% slower than the
   //    4 within-frame lanes — the OoO core saturates at 4 chains and the
-  //    extra lanes just add L1 pressure.
+  //    extra lanes just add L1 pressure;
+  //  - round 3: extending the in-window pair drain past 4 symbols
+  //    (dynamic `adv + sbits <= valid-bits` loop: 0.84x; static 6-symbol
+  //    unroll + validity check: 0.94x), draining count1 quads past 4
+  //    (0.97x), and continuing the drain through direct slow entries to
+  //    save the per-escape dispatch round trip (0.99x) ALL measured
+  //    slower on MPEG-1 music despite fewer window reloads — the 4-lane
+  //    x 4-symbol shape keeps each lane burst inside the OoO window so
+  //    cross-lane loads overlap; longer bursts serialize the LUT-load
+  //    dependency chains and any added per-symbol branch beats the
+  //    round-trip saving. The 4/4 shape is a measured local optimum.
   void run_lanes(HuffLane* lanes, int nl, BitReader& m, SideInfo* si) {
     const uint8_t* buf = m.vec;
     const int64_t total = m.total_bits();
