@@ -563,7 +563,10 @@ struct Parser {
   int64_t base_consumed = 0;
   std::vector<uint8_t> owned;
 
-  bool packed8_overflow = false;        // a granule exceeded kEscSlots
+  bool packed8_overflow = false;     // a granule exceeded kEscSlots
+  // set by gmp_parse_packed8: its emission writes mono ch1 zeros itself,
+  // so parse_frame can skip zeroing the (unread) local ch1 records
+  bool skip_mono_ch1 = false;
   std::vector<uint8_t> reservoir;       // previous assembled main-data buf
   int64_t reservoir_len = 0;            // logical bytes (buffer carries
                                         // zero padding past this for the
@@ -1232,7 +1235,7 @@ struct Parser {
 
     int ngr = h.granules();
     // zero the records read_huffman won't cover (mono ch1) + scalefactors
-    if (h.nch() == 1)
+    if (h.nch() == 1 && !skip_mono_ch1)
       for (int gr = 0; gr < ngr; gr++)
         memset(spectra + (gr * 2 + 1) * kSamplesPerGr, 0,
                kSamplesPerGr * sizeof(int16_t));
@@ -1378,6 +1381,7 @@ int gmp_parse(void* pv, int cap, int16_t* spectra, int32_t* sfl, int32_t* sfs,
               int32_t* meta) {
   Parser* p = static_cast<Parser*>(pv);
   if (!stream_ready(p)) return 0;
+  p->skip_mono_ch1 = false;
   int g = 0;
   // a frame yields up to 2 granules, so keep 2 slots free
   while (cap - g >= 2) {
@@ -1412,6 +1416,7 @@ int gmp_parse(void* pv, int cap, int16_t* spectra, int32_t* sfl, int32_t* sfs,
 int gmp_parse_packed(void* pv, int cap, int16_t* spectra, int16_t* side) {
   Parser* p = static_cast<Parser*>(pv);
   if (!stream_ready(p)) return 0;
+  p->skip_mono_ch1 = false;
   int g = 0;
   int32_t sfl[2 * 2 * 22];
   int32_t sfs[2 * 2 * 39];
@@ -1480,6 +1485,7 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
                       uint8_t* side8) {
   Parser* p = static_cast<Parser*>(pv);
   if (!stream_ready(p)) return 0;
+  p->skip_mono_ch1 = true;  // this interface emits mono ch1 zeros itself
   int g = 0;
   int16_t sp[2 * 1152];
   int32_t sfl[2 * 2 * 22];
@@ -1499,7 +1505,15 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
       const int16_t* src = sp + gr * 1152;
       int16_t* dh = head16 + (g + gr) * (2 * kHeadLines);
       int8_t* d8 = tail8 + (g + gr) * (2 * kTailLines);
-      for (int ch = 0; ch < 2; ch++) {
+      // mono frames: ch1 is all-zero by contract (meta bit 2) — emit the
+      // zeros directly instead of packing 576 zero lines through the SSE
+      // narrow (the device unpack reads the same zeros either way)
+      const int nch_emit = (meta[gr * 24 + 1] & 4) ? 1 : 2;
+      if (nch_emit == 1) {
+        memset(dh + kHeadLines, 0, kHeadLines * sizeof(int16_t));
+        memset(d8 + kTailLines, 0, kTailLines);
+      }
+      for (int ch = 0; ch < nch_emit; ch++) {
         memcpy(dh + ch * kHeadLines, src + ch * 576,
                kHeadLines * sizeof(int16_t));
         const int16_t* t = src + ch * 576 + kHeadLines;
