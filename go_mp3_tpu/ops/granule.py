@@ -46,12 +46,17 @@ _F32 = jnp.float32
 #           HIGHEST = full f32 MXU emulation, needed for the <= 1-2 LSB
 #           device-vs-exact gates (test_stage_parity, test_golden).
 #  _HI_OH   one-hot / placement matmuls (band expansion, window select,
-#           short-block placement): weights are exactly 0.0 / 1.0, so any
-#           bf16-multipass scheme that splits f32 operands exactly
-#           (bf16x3) reproduces the f32 result bit-for-bit — candidates
-#           for a cheaper setting once verified on real TPU hardware.
+#           short-block placement): weights are exactly 0.0 / 1.0, so the
+#           bf16x3 HIGH pass splits f32 operands exactly and every
+#           product is value*1.0 or value*0.0 — the f32 result is
+#           reproduced bit-for-bit at half the MXU passes. VERIFIED on
+#           v5e at bench shapes (tools/profile_fir.py): per-stream
+#           energies over a full 13-chunk corpus scan and raw PCM are
+#           IDENTICAL to HIGHEST, at -0.5 ms/chunk. (HIGH on the
+#           real-valued _HI sites measured the same speed but moved PCM
+#           by 1 LSB — no win, so those stay HIGHEST.)
 _HI = jax.lax.Precision.HIGHEST
-_HI_OH = jax.lax.Precision.HIGHEST
+_HI_OH = jax.lax.Precision.HIGH
 
 
 class GranuleBatch(NamedTuple):
