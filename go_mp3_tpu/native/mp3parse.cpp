@@ -687,11 +687,34 @@ struct Parser {
     return OK;
   }
 
+  // Side info is at most 32 bytes and its field reads never cross the
+  // size (the layouts sum to exactly size*8 bits or less), so a reader
+  // over 5 preloaded big-endian words is exactly equivalent to BitReader
+  // (no error path can trigger) at a fraction of the per-call cost —
+  // read_side_info makes ~65 bit-field reads per frame.
+  struct SmallBits {
+    uint64_t w[5];
+    int pos = 0;
+    explicit SmallBits(const uint8_t* p, int size) {
+      uint8_t buf[40] = {0};
+      memcpy(buf, p, size_t(size));
+      for (int i = 0; i < 5; i++) w[i] = BitReader::be64(buf + 8 * i);
+    }
+    inline uint32_t bits(int n) {  // 1 <= n <= 12; pos + n <= 256
+      int idx = pos >> 6, off = pos & 63;
+      uint64_t v = w[idx] << off;
+      if (off > 64 - n) v |= w[idx + 1] >> (64 - off);
+      pos += n;
+      return uint32_t(v >> (64 - n));
+    }
+    inline int bit() { return int(bits(1)); }
+  };
+
   Status read_side_info(const Header& h, SideInfo* si) {
     if (h.frame_size() > 2000) { error = "framesize"; return HARD_ERROR; }
     int size = h.side_info_size();
     if (remaining() < size) return END_OF_AUDIO;
-    BitReader s{data + pos, size};
+    SmallBits s(data + pos, size);
     pos += size;
 
     int lsf = h.lsf();
