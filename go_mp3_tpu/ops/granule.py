@@ -389,6 +389,21 @@ def _polyphase(
     VMEM kernels 15.2 fused / parity FIR-only vs 14-16 ms for the whole
     XLA chain) — XLA's own fusion already schedules this well.
 
+    Round-3 re-measurements at the 9.8 ms/chunk chain (after the mono
+    repeat fix): (a) a row-tiled Pallas FIR holding one channel's whole
+    vh in VMEM (full-block in_spec, (512, 32) output tiles) was
+    bit-exact but 12.6 vs 9.8 ms/chunk — the per-tap column-slice
+    copies visible in the HLO are evidently pipelined well by XLA, and
+    the kernel's HBM refetch across row tiles costs more; (b) keeping
+    taps 64-wide (masked halves folded once) to avoid the column slices
+    was 12.5 ms — double elementwise volume. The slice loop stands.
+
+    Unpack layout, same round: line-major wire + on-device int8
+    transpose (1.93 ms/chunk) beats granule-major wire with no
+    transpose (2.43) and widen-to-i16-then-transpose (2.11) — the
+    transposed copy lands the layout the rest of the chain wants, so it
+    is not overhead at all.
+
     Round-3 negative result, for the record: composing N with the D taps
     offline into out[g] = s[g] @ M0 + s[g-1] @ M1 (two dense 576x576
     dots, x_prev carried instead of the v FIFO; also tried as a window-2
