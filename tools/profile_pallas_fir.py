@@ -1,0 +1,210 @@
+#!/usr/bin/env python3
+"""On-chip experiments: Pallas FIR vs XLA slice-loop FIR + unpack variants.
+
+The XLA FIR's 16 taps each slice 32 of vh's 64 columns — the optimized
+HLO shows per-tap relayout copies. A Pallas kernel holds one (stream,
+channel)'s whole vh ([4624, 64] f32, 1.2 MB) in VMEM and runs the same
+16 multiply-adds in the same k order (bit-exactness checked here).
+
+Scan over C chunks, fetch-fenced, min of 3.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def fence(x) -> None:
+    import jax
+    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:4]
+
+
+def timed(fn, n=3):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        r = fn()
+        fence(r)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from go_mp3_tpu.native.lib import (
+        HEAD_WIDTH,
+        SIDE8_WIDTH,
+        SP8_TAIL_WIDTH,
+        NativeParser,
+    )
+    from go_mp3_tpu.ops import granule as G
+    from go_mp3_tpu.parallel.mesh import init_states
+
+    S = int(os.environ.get("GOMP3_S", "64"))
+    T = int(os.environ.get("GOMP3_CHUNK_T", "256"))
+    C = int(os.environ.get("GOMP3_SCAN_CHUNKS", "13"))
+    print(f"devices: {jax.devices()}  S={S} T={T} C={C}", file=sys.stderr)
+
+    data = open("/root/reference/example/classic_lame.mp3", "rb").read() * 4
+    sp8 = np.zeros((T, SP8_TAIL_WIDTH), np.int8)
+    esc = np.zeros((T, HEAD_WIDTH), np.int16)
+    sd8 = np.zeros((T, SIDE8_WIDTH), np.uint8)
+    p = NativeParser(data)
+    n = p.parse_packed8_into(sp8, esc, sd8)
+    p.close()
+    assert n == T, n
+
+    sp_b = np.broadcast_to(sp8, (S, T, SP8_TAIL_WIDTH)).copy()
+    esc_b = np.broadcast_to(esc, (S, T, HEAD_WIDTH)).copy()
+    sd8_b = np.broadcast_to(sd8, (S, T, SIDE8_WIDTH)).copy()
+
+    scan_spT = jax.device_put(
+        np.broadcast_to(sp_b.transpose(0, 2, 1), (C, S, SP8_TAIL_WIDTH, T)).copy()
+    )
+    scan_sp = jax.device_put(np.broadcast_to(sp_b, (C, S, T, SP8_TAIL_WIDTH)).copy())
+    scan_es = jax.device_put(np.broadcast_to(esc_b, (C, S, T, HEAD_WIDTH)).copy())
+    scan_sd = jax.device_put(np.broadcast_to(sd8_b, (C, S, T, SIDE8_WIDTH)).copy())
+    dstates = jax.device_put(init_states(S))
+    jax.block_until_ready((scan_spT, scan_sp, scan_es, scan_sd))
+    fence(scan_spT)
+
+    rows = T * 18
+    dtbl = np.asarray(G.T.SYNTH_DTBL, np.float32)
+    D = jnp.asarray(dtbl.reshape(16, 32))
+
+    TILE = 512
+    assert rows % TILE == 0
+
+    def fir_kernel(vh_ref, d_ref, out_ref):
+        # vh_ref: FULL [rows+16, 64] (1.2 MB VMEM, re-used across the row
+        # tiles of one (stream, channel) — index_map constant); d_ref:
+        # [16, 32]; out_ref: one (TILE, 32) tile. Same tap order and f32
+        # ops as the XLA slice loop (bit-exactness asserted by caller).
+        base = pl.program_id(0) * TILE
+        acc = jnp.zeros((TILE, 32), jnp.float32)
+        for k in range(16):
+            off = 0 if k % 2 == 0 else 32
+            sl = vh_ref[pl.ds(base + 16 - k, TILE), off : off + 32]
+            acc = acc + sl * d_ref[k]
+        out_ref[...] = acc
+
+    fir_pallas = pl.pallas_call(
+        fir_kernel,
+        grid=(rows // TILE,),
+        in_specs=[
+            pl.BlockSpec((rows + 16, 64), lambda i: (0, 0)),
+            pl.BlockSpec((16, 32), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((TILE, 32), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((rows, 32), jnp.float32),
+    )
+
+    def polyphase_pallas(x18, v_fifo_in):
+        t_dim = x18.shape[0]
+        v = jnp.einsum("tcjs,ij->tcsi", x18, G._SYNTH_N_WIN, precision=G._HI)
+        vf = v.transpose(1, 0, 2, 3).reshape(2, t_dim * 18, 64)
+        vh = jnp.concatenate([v_fifo_in[:, ::-1], vf], axis=1)
+        acc = jax.vmap(fir_pallas, in_axes=(0, None))(vh, D)
+        return acc, vh
+
+    def chain(sp, es, sd, st, poly):
+        b = G.batch_from_packed8(sp, es, sd)
+        x = G._requantize(b)
+        x = G._stereo(b, x)
+        x = G._antialias(b, x)
+        raw = G._imdct(b, x)
+        out18, uppers = G._overlap_fold(raw, st.store)
+        x18 = out18 * G._FREQ_INV
+        pcm_f, vh = poly(x18, st.v_fifo)
+        t_dim = sp.shape[0]
+        samp = jnp.clip(pcm_f * 32767.0, -32767.0, 32767.0).astype(jnp.int32)
+        pcm = samp.astype(jnp.int16).reshape(2, t_dim * 576)
+        return pcm, G.DecodeState(
+            store=uppers[-1], v_fifo=vh[:, t_dim * 18 : t_dim * 18 + 16][:, ::-1]
+        )
+
+    def make_run(poly):
+        @jax.jit
+        def run(sps, ess, sds, st0):
+            def step(st, xs):
+                sp, es, sd = xs
+                sp = jnp.swapaxes(sp, 1, 2)
+                pcm, st2 = jax.vmap(
+                    lambda a, b_, c, s: chain(a, b_, c, s, poly)
+                )(sp, es, sd, st)
+                e = jnp.sum(jnp.abs(pcm.astype(jnp.int32)), axis=(1, 2))
+                return st2, (e, pcm[:2])
+            st, (es_, pcms) = jax.lax.scan(step, st0, (sps, ess, sds))
+            return es_, pcms
+        return run
+
+    results = {}
+    for name, poly in (("base", G._polyphase), ("pallas-fir", polyphase_pallas)):
+        run = make_run(poly)
+        t0 = time.perf_counter()
+        r = run(scan_spT, scan_es, scan_sd, dstates)
+        fence(r)
+        print(f"compile {name}: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        t = timed(lambda run=run: run(scan_spT, scan_es, scan_sd, dstates), n=3)
+        print(f"  {name:12s} {t*1e3:7.1f} ms total  {t/C*1e3:6.2f} ms/chunk")
+        results[name] = (np.asarray(r[0]), np.asarray(r[1]))
+
+    be, bp = results["base"]
+    pe, pp = results["pallas-fir"]
+    md = int(np.abs(pp.astype(np.int32) - bp.astype(np.int32)).max())
+    print(f"  pallas vs base: energies equal {bool((be == pe).all())}, "
+          f"pcm maxdiff {md} LSB")
+
+    # ---------- unpack layout variants -------------------------------------
+    def u_current(sp_lm, es, sd):
+        sp = jnp.swapaxes(sp_lm, 0, 1)
+        b = G.batch_from_packed8(sp, es, sd)
+        return jnp.sum(b.spectra.astype(jnp.int32))
+
+    def u_granmajor(sp_gm, es, sd):
+        b = G.batch_from_packed8(sp_gm, es, sd)
+        return jnp.sum(b.spectra.astype(jnp.int32))
+
+    def u_widen_first(sp_lm, es, sd):
+        wide = sp_lm.astype(jnp.int16)
+        sp = jnp.swapaxes(wide, 0, 1)
+        head = es.reshape(es.shape[0], 2, G.HEAD_LINES)
+        tail = sp.reshape(sp.shape[0], 2, 576 - G.HEAD_LINES)
+        spec = jnp.concatenate([head, tail], axis=-1)
+        return jnp.sum(spec.astype(jnp.int32))
+
+    for name, fn, arr in (
+        ("unpack line-major (current)", u_current, scan_spT),
+        ("unpack granule-major", u_granmajor, scan_sp),
+        ("unpack widen-then-transpose", u_widen_first, scan_spT),
+    ):
+        @jax.jit
+        def run(arrs, ess, sds, fn=fn):
+            def step(c, xs):
+                a, es, sd = xs
+                return c, jax.vmap(fn)(a, es, sd)
+            _, outs = jax.lax.scan(step, 0, (arrs, ess, sds))
+            return outs
+        t0 = time.perf_counter()
+        r = run(arr, scan_es, scan_sd)
+        fence(r)
+        print(f"compile {name}: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        t = timed(lambda run=run, arr=arr: run(arr, scan_es, scan_sd), n=3)
+        print(f"  {name:30s} {t*1e3:7.1f} ms total  {t/C*1e3:6.2f} ms/chunk")
+
+
+if __name__ == "__main__":
+    main()
