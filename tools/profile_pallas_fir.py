@@ -11,7 +11,6 @@ Scan over C chunks, fetch-fenced, min of 3.
 
 from __future__ import annotations
 
-import functools
 import os
 import sys
 import time
