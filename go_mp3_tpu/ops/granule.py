@@ -99,7 +99,6 @@ _LONG_BAND_START = jnp.asarray(T.LONG_BAND_START)  # [6, 23]
 _SHORT_BAND_START3 = jnp.asarray(T.SHORT_BAND_START3)  # [6, 14]
 _CS = jnp.asarray(T.CS)
 _CA = jnp.asarray(T.CA)
-_COS_N12 = jnp.asarray(T.COS_N12)
 _COS_N36 = jnp.asarray(T.COS_N36)
 _IMDCT_WIN = jnp.asarray(T.IMDCT_WIN)
 _SYNTH_N_WIN = jnp.asarray(T.SYNTH_N_WIN)
@@ -133,14 +132,27 @@ def _build_fir_kernel() -> np.ndarray:
 
 _FIR_K = jnp.asarray(_build_fir_kernel())  # [16, 64, 32] WIO
 
-# raw_short placement: s[..., i, j] lands at output sample 6 + 6*i + j
-# (imdct.go windowed short blocks); as a one-hot matmul the 3 overlapping
-# sub-block adds ride the same MXU contraction.
-_SHORT_PLACE_NP = np.zeros((36, 36), np.float32)
-for _i in range(3):
-    for _j in range(12):
-        _SHORT_PLACE_NP[_i * 12 + _j, 6 + 6 * _i + _j] = 1.0
-_SHORT_PLACE = jnp.asarray(_SHORT_PLACE_NP)
+# Short-block IMDCT as ONE [18, 36] matrix: the 12-point IMDCT cosines,
+# the short window, and the 3 overlapping sub-block placements
+# (imdct.go: s[i][p] lands at output sample 6 + 6*i + p) compose into
+#   M3[3m + i, 6 + 6i + p] = COS_N12[m, p] * win_short[p]
+# so the short path is a single einsum of the same [.., 18] x [18, 36]
+# shape as the long path — no [.., 3, 12] sub-tensors (tiny trailing
+# dims tile-pad badly on TPU), no second placement matmul. The window
+# fold moves one rounding from data to constants (data*(cos*win) vs
+# (data*cos)*win, ~1 ulp); the overlap adds become part of the 18-term
+# HIGHEST dot. Both effects are far below the stage-parity bounds and
+# position-invariant (the contraction width matches the existing long
+# einsum — see _polyphase for why 576-wide contractions are the ones
+# that break chunk invariance).
+_SHORT_M3_NP = np.zeros((18, 36), np.float32)
+for _m in range(6):
+    for _i in range(3):
+        for _p in range(12):
+            _SHORT_M3_NP[3 * _m + _i, 6 + 6 * _i + _p] = (
+                T.COS_N12[_m, _p] * T.IMDCT_WIN[2, _p]
+            )
+_SHORT_M3 = jnp.asarray(_SHORT_M3_NP)
 
 
 def _variant_onehot(variant: jax.Array) -> jax.Array:
@@ -353,16 +365,10 @@ def _imdct(b: GranuleBatch, x: jax.Array) -> jax.Array:
         "tcbs,sp->tcbp", blocks, _COS_N36, precision=_HI
     ) * win
 
-    sub = blocks.reshape(*blocks.shape[:3], 6, 3)  # [..., m, i]
-    sub_t = jnp.swapaxes(sub, -1, -2)  # [..., i, m]
-    s = jnp.einsum("tcbim,mp->tcbip", sub_t, _COS_N12, precision=_HI)
-    s = s * _IMDCT_WIN[2, :12]
-    # place + overlap-add the 3 windowed sub-blocks in one one-hot matmul
+    # IMDCT-12 + short window + overlapped placement as one composed
+    # einsum (see _SHORT_M3) — same shape as the long path's contraction
     raw_short = jnp.einsum(
-        "tcbq,qp->tcbp",
-        s.reshape(*s.shape[:3], 36),
-        _SHORT_PLACE,
-        precision=_HI_OH,
+        "tcbs,sp->tcbp", blocks, _SHORT_M3, precision=_HI
     )
 
     return jnp.where(bt_eff[..., None] == 2, raw_short, raw_long)
