@@ -57,6 +57,14 @@ _F32 = jnp.float32
 #           by 1 LSB — no win, so those stay HIGHEST.)
 _HI = jax.lax.Precision.HIGHEST
 _HI_OH = jax.lax.Precision.HIGH
+# _expand_bands only: per-operand precision. Its RHS is the 0/1
+# expansion matrix — exact in a SINGLE bf16 pass — while the data LHS
+# still gets the exact bf16x3 split. Verified bitwise on v5e
+# (tools/profile_aa.py: corpus-scan energies + PCM identical), -0.1
+# ms/chunk. _select_by_variant must NOT use this: its one-hot is the
+# LHS and its rhs is a REAL-valued table (band starts like 418 are not
+# bf16-representable).
+_HI_OH_EXPAND = (jax.lax.Precision.HIGH, jax.lax.Precision.DEFAULT)
 
 
 class GranuleBatch(NamedTuple):
@@ -184,7 +192,7 @@ def _expand_bands(values: jax.Array, vh: jax.Array, e: jax.Array) -> jax.Array:
     vh_rep = jnp.repeat(vh, b_dim, axis=-1)  # [T, 6B]
     big = jnp.tile(values, (1, 1, _NV)) * vh_rep[:, None, :]
     out = jnp.dot(
-        big.reshape(t_dim * c_dim, _NV * b_dim), e, precision=_HI_OH
+        big.reshape(t_dim * c_dim, _NV * b_dim), e, precision=_HI_OH_EXPAND
     )
     return out.reshape(t_dim, c_dim, e.shape[1])
 
