@@ -316,15 +316,16 @@ def _stereo(b: GranuleBatch, x: jax.Array) -> jax.Array:
     ml_s = jnp.where(apply_s, _ratio_from_is_pos(is_pos_s, T.IS_RATIO_L), 1.0)
     mr_s = jnp.where(apply_s, _ratio_from_is_pos(is_pos_s, T.IS_RATIO_R), 1.0)
 
-    # expand multipliers (default 1 -> encode as delta from 1) and compose
-    def expand_pair(m_l, m_s):
-        dl = _expand_bands((m_l - 1.0)[:, None, :], vh, _E_LONG)[:, 0]
-        ds = _expand_bands((m_s - 1.0)[:, None, :], vh, _E_SHORT_IS)[:, 0]
-        return (1.0 + dl) * (1.0 + ds)
-
-    left = left * expand_pair(ml_l, ml_s)
-    right = right * expand_pair(mr_l, mr_s)
-    return jnp.stack([left, right], axis=1)
+    # expand multipliers (default 1 -> encode as delta from 1) and compose.
+    # Left/right ride one expansion dot each for long and short (stacked
+    # on the channel axis — rows of the dot are independent, so values
+    # are identical to per-channel calls at half the dispatches).
+    m_long = jnp.stack([ml_l, mr_l], axis=1)  # [T, 2, 22]
+    m_short = jnp.stack([ml_s, mr_s], axis=1)  # [T, 2, 39]
+    dl = _expand_bands(m_long - 1.0, vh, _E_LONG)
+    ds = _expand_bands(m_short - 1.0, vh, _E_SHORT_IS)
+    mult = (1.0 + dl) * (1.0 + ds)  # [T, 2, 576]
+    return jnp.stack([left, right], axis=1) * mult
 
 
 def _antialias(b: GranuleBatch, x: jax.Array) -> jax.Array:

@@ -1,0 +1,160 @@
+#!/usr/bin/env python3
+"""On-chip: state extraction with TRACED per-stream `valid` (the real
+bench/production shape) — vmapped dynamic_slice (current) vs one-hot
+contraction (gather-free).
+
+The earlier substage profiles passed `valid` as a Python int closure, so
+the extraction traced as STATIC slices; the bench passes a [S] array and
+the vmapped dynamic starts lower to gathers.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+
+def fence(x) -> None:
+    import jax
+    np.asarray(jax.tree_util.tree_leaves(x)[0]).ravel()[:4]
+
+
+def timed(fn, n=4):
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        r = fn()
+        fence(r)
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from go_mp3_tpu.native.lib import (
+        HEAD_WIDTH,
+        SIDE8_WIDTH,
+        SP8_TAIL_WIDTH,
+        NativeParser,
+    )
+    from go_mp3_tpu.ops import granule as G
+    from go_mp3_tpu.parallel.mesh import init_states
+
+    S, T, C = 64, 256, 13
+    print(f"devices: {jax.devices()}", file=sys.stderr)
+
+    data = open("/root/reference/example/classic_lame.mp3", "rb").read() * 4
+    sp8 = np.zeros((T, SP8_TAIL_WIDTH), np.int8)
+    esc = np.zeros((T, HEAD_WIDTH), np.int16)
+    sd8 = np.zeros((T, SIDE8_WIDTH), np.uint8)
+    p = NativeParser(data)
+    n = p.parse_packed8_into(sp8, esc, sd8)
+    p.close()
+    assert n == T, n
+
+    a = jax.device_put(
+        np.broadcast_to(
+            np.broadcast_to(sp8, (S, T, SP8_TAIL_WIDTH)).transpose(0, 2, 1),
+            (C, S, SP8_TAIL_WIDTH, T),
+        ).copy()
+    )
+    b_ = jax.device_put(np.broadcast_to(esc, (C, S, T, HEAD_WIDTH)).copy())
+    c_ = jax.device_put(np.broadcast_to(sd8, (C, S, T, SIDE8_WIDTH)).copy())
+    st0 = jax.device_put(init_states(S))
+    jax.block_until_ready((a, b_, c_))
+    fence(a)
+    # ragged-ish valids, like a real corpus tail chunk
+    valids_np = np.full((C, S), T, np.int32)
+    valids_np[-1] = np.linspace(40, T, S, dtype=np.int32)
+    valids = jax.device_put(valids_np)
+
+    def extract_onehot(uppers, vh, state_in, valid, t_dim):
+        # gather-free: one-hot contractions select row valid-1 of uppers
+        # and rows [valid*18, valid*18+16) of vh. 0/1 weights keep the
+        # f32 values exact (verified class — see _HI_OH).
+        tsel = (jnp.arange(t_dim) == valid - 1).astype(jnp.float32)
+        store_out = jnp.einsum(
+            "t,tcbs->cbs", tsel, uppers, precision=G._HI_OH
+        )
+        store_out = jnp.where(valid > 0, store_out, state_in.store)
+        rows = vh.shape[1]
+        rsel = (
+            jnp.arange(rows)[None, :]
+            == (valid * 18 + jnp.arange(16))[:, None]
+        ).astype(jnp.float32)  # [16, rows]
+        fifo = jnp.einsum("kr,cri->cki", rsel, vh, precision=G._HI_OH)
+        return store_out, fifo[:, ::-1]
+
+    def chain(sp, es, sd, st, valid, onehot):
+        b = G.batch_from_packed8(sp, es, sd)
+        x = G._requantize(b)
+        x = G._stereo(b, x)
+        x = G._antialias(b, x)
+        raw = G._imdct(b, x)
+        out18, uppers = G._overlap_fold(raw, st.store)
+        x18 = out18 * G._FREQ_INV
+        pcm_f, vh = G._polyphase(x18, st.v_fifo)
+        t_dim = sp.shape[0]
+        samp = jnp.clip(pcm_f * 32767.0, -32767.0, 32767.0).astype(jnp.int32)
+        pcm = samp.astype(jnp.int16).reshape(2, t_dim * 576)
+        if onehot:
+            store_out, v_fifo_out = extract_onehot(
+                uppers, vh, st, valid, t_dim
+            )
+        else:
+            store_out = jax.lax.dynamic_index_in_dim(
+                uppers, jnp.maximum(valid - 1, 0), axis=0, keepdims=False
+            )
+            store_out = jnp.where(valid > 0, store_out, st.store)
+            fifo_slice = jax.lax.dynamic_slice_in_dim(
+                vh, valid * 18, 16, axis=1
+            )
+            v_fifo_out = fifo_slice[:, ::-1]
+        return pcm, G.DecodeState(store=store_out, v_fifo=v_fifo_out)
+
+    results = {}
+    for name, onehot in (("dynslice (current)", False), ("one-hot", True)):
+        @jax.jit
+        def run(sps, ess, sds, st0, vals, onehot=onehot):
+            def step(st, xs):
+                sp, es, sd, v = xs
+                sp = jnp.swapaxes(sp, 1, 2)
+                pcm, st2 = jax.vmap(
+                    lambda q, w, e, s, vv: chain(q, w, e, s, vv, onehot)
+                )(sp, es, sd, st, v)
+                en = jnp.sum(jnp.abs(pcm.astype(jnp.int32)), axis=(1, 2))
+                return st2, en
+            st, ens = jax.lax.scan(step, st0, (sps, ess, sds, vals))
+            return ens, st
+        t0 = time.perf_counter()
+        r = run(a, b_, c_, st0, valids)
+        fence(r)
+        print(f"compile {name}: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+        t = timed(lambda run=run: run(a, b_, c_, st0, valids), n=4)
+        print(f"  {name:20s} {t*1e3:7.1f} ms total  {t/C*1e3:6.2f} ms/chunk")
+        results[name] = jax.tree_util.tree_map(np.asarray, r)
+
+    e0, st_a = results["dynslice (current)"]
+    e1, st_b = results["one-hot"]
+    same_e = bool((e0 == e1).all())
+    sd = max(
+        float(np.abs(x - y).max())
+        for x, y in zip(jax.tree_util.tree_leaves(st_a),
+                        jax.tree_util.tree_leaves(st_b))
+    )
+    print(f"  one-hot vs dynslice: energies equal {same_e}, "
+          f"state maxdiff {sd}")
+
+
+if __name__ == "__main__":
+    main()
