@@ -488,16 +488,26 @@ def decode_chunk_impl(
     ).reshape(t_dim * SAMPLES_PER_GR)
     pcm = jnp.where(mono_rows[:, None], pcm[:, :1], pcm)
 
-    # state after `valid` granules
-    store_out = jax.lax.dynamic_index_in_dim(
-        uppers, jnp.maximum(valid - 1, 0), axis=0, keepdims=False
-    )
+    # State after `valid` granules, extracted by ONE-HOT CONTRACTIONS
+    # rather than dynamic slices: with `valid` a traced per-stream value
+    # (the corpus scan), vmapped dynamic_slice starts lower to gathers —
+    # measured 2.0 ms/chunk at bench shapes on v5e. The one-hot rows
+    # select the same f32 values bit-exactly at HIGHEST (products are
+    # value*1.0; verified maxdiff 0.0 over a ragged-valid corpus scan,
+    # tools/profile_state.py). NOTE: HIGH is NOT enough here — its
+    # asymmetric bf16 decomposition truncates the data operand to ~16
+    # mantissa bits when the one-hot is on the LHS (measured 2^-21
+    # relative error).
+    t_sel = (jnp.arange(t_dim) == valid - 1).astype(_F32)
+    store_out = jnp.einsum("t,tcbs->cbs", t_sel, uppers, precision=_HI)
     store_out = jnp.where(valid > 0, store_out, state.store)
-    # v FIFO: rows 16 + valid*18 - 1 - k for k in 0..15 -> newest first
-    start = valid * 18  # first of the last 16 rows in vh is at start+0
-    fifo_slice = jax.lax.dynamic_slice_in_dim(vh, start, 16, axis=1)
-    v_fifo_out = fifo_slice[:, ::-1]
-    return pcm, DecodeState(store=store_out, v_fifo=v_fifo_out)
+    # v FIFO: rows valid*18 + k for k in 0..15 of vh, newest first
+    r_sel = (
+        jnp.arange(vh.shape[1])[None, :]
+        == (valid * 18 + jnp.arange(16))[:, None]
+    ).astype(_F32)  # [16, rows+16]
+    fifo = jnp.einsum("kr,cri->cki", r_sel, vh, precision=_HI)
+    return pcm, DecodeState(store=store_out, v_fifo=fifo[:, ::-1])
 
 
 # ---------------------------------------------------------------------------
