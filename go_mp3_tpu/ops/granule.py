@@ -443,11 +443,17 @@ def _polyphase(
     # history rows oldest-first then the new rows
     vh = jnp.concatenate([v_fifo_in[:, ::-1], vf], axis=1)
 
+    # Split vh's columns ONCE so each tap slices only rows: per-tap
+    # [off:off+32] column slices of the 64-wide vh showed up as relayout
+    # copies in the optimized HLO; the pre-split variant measured 8.55
+    # vs 8.67 ms/chunk (bit-exact — same k order and products).
+    v_a = vh[..., :32]
+    v_b = vh[..., 32:]
     acc = jnp.zeros((2, rows, 32), _F32)
     for k in range(16):
-        off = 0 if k % 2 == 0 else 32
+        src = v_a if k % 2 == 0 else v_b
         dk = _SYNTH_DTBL[32 * k : 32 * (k + 1)]
-        acc = acc + vh[:, 16 - k : 16 - k + rows, off : off + 32] * dk
+        acc = acc + src[:, 16 - k : 16 - k + rows, :] * dk
     return acc, vh
 
 
