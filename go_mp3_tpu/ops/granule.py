@@ -417,7 +417,10 @@ def _polyphase(
     transpose (1.93 ms/chunk) beats granule-major wire with no
     transpose (2.43) and widen-to-i16-then-transpose (2.11) — the
     transposed copy lands the layout the rest of the chain wants, so it
-    is not overhead at all.
+    is not overhead at all. Also at parity (tools/profile_unpack2.py):
+    the transpose as an int8 one-hot MXU dot_general (exact s32 accum),
+    and emitting the v einsum in "ctsi" order to fold the [T,2,18,64]
+    -> [2,rows,64] relayout into the dot — XLA already handles both.
 
     Round-3 negative result, for the record: composing N with the D taps
     offline into out[g] = s[g] @ M0 + s[g-1] @ M1 (two dense 576x576
