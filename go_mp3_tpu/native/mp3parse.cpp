@@ -927,9 +927,13 @@ struct Parser {
         return;  // count1 starts next call
       }
       // window guard: the slow path's worst symbol is 19 code + 2*13
-      // linbits + 2 sign bits = 47; the fast path's two symbols need at
-      // most 24. Lanes near the tail finish on the exact scalar path.
-      if (__builtin_expect(L.pos + 47 > total, 0)) {
+      // linbits + 2 sign bits = 47, and the fast drain's four symbols
+      // can index up to bit 47 past the window base — 48 guarantees no
+      // fast lookup ever indexes a bit at/past the logical end (they
+      // are zero padding, so the old 47 was value-safe; 48 makes it
+      // safe by construction). Lanes near the tail finish on the exact
+      // scalar path.
+      if (__builtin_expect(L.pos + 48 > total, 0)) {
         L.scalar = true;
         L.active = false;
         return;
