@@ -14,7 +14,6 @@ Variants (dynamic-valid corpus scan, fetch-fenced, min of 4):
 
 from __future__ import annotations
 
-import os
 import sys
 import time
 

@@ -10,7 +10,6 @@ the vmapped dynamic starts lower to gathers.
 
 from __future__ import annotations
 
-import os
 import sys
 import time
 
@@ -84,7 +83,7 @@ def main() -> None:
         # f32 values exact (verified class — see _HI_OH).
         tsel = (jnp.arange(t_dim) == valid - 1).astype(jnp.float32)
         store_out = jnp.einsum(
-            "t,tcbs->cbs", tsel, uppers, precision=G._HI_OH
+            "t,tcbs->cbs", tsel, uppers, precision=G._HI
         )
         store_out = jnp.where(valid > 0, store_out, state_in.store)
         rows = vh.shape[1]
@@ -92,7 +91,7 @@ def main() -> None:
             jnp.arange(rows)[None, :]
             == (valid * 18 + jnp.arange(16))[:, None]
         ).astype(jnp.float32)  # [16, rows]
-        fifo = jnp.einsum("kr,cri->cki", rsel, vh, precision=G._HI_OH)
+        fifo = jnp.einsum("kr,cri->cki", rsel, vh, precision=G._HI)
         return store_out, fifo[:, ::-1]
 
     def chain(sp, es, sd, st, valid, onehot):
