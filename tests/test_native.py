@@ -402,3 +402,41 @@ def test_streaming_giant_id3_tag_skipped_incrementally():
     n = s.parse_into(sp, sl, ss, me)
     assert n > 0, "audio after the giant tag must decode"
     s.close()
+
+
+def test_packed8_large_and_small_caps_byte_identical(
+    fixture_classic_lame, fixture_mpeg2
+):
+    """Corpus-sized requests (cap >= 192) take the non-temporal-store
+    emission path; small requests keep cached stores. Both must produce
+    byte-identical planes for the same stream (mp3parse.cpp
+    gmp_parse_packed8's `nt` gate)."""
+    from go_mp3_tpu.native.lib import (
+        HEAD_WIDTH,
+        SIDE8_WIDTH,
+        SP8_TAIL_WIDTH,
+        NativeParser,
+    )
+
+    for data in (fixture_classic_lame, fixture_mpeg2):
+        def parse_all_with_cap(cap):
+            p = NativeParser(data)
+            sp = np.zeros((4096, SP8_TAIL_WIDTH), np.int8)
+            hd = np.zeros((4096, HEAD_WIDTH), np.int16)
+            sd = np.zeros((4096, SIDE8_WIDTH), np.uint8)
+            got = 0
+            while True:
+                k = p.parse_packed8_into(
+                    sp[got : got + cap], hd[got : got + cap], sd[got : got + cap]
+                )
+                if k == 0:
+                    break
+                got += k
+            p.close()
+            return sp[:got], hd[:got], sd[:got]
+
+        big = parse_all_with_cap(256)  # NT path
+        small = parse_all_with_cap(128)  # cached path
+        assert big[0].shape == small[0].shape
+        for a, b in zip(big, small):
+            assert np.array_equal(a, b)
