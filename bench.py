@@ -330,6 +330,7 @@ def main() -> None:
         np.asarray(e2)
         probe_scan = min(probe_scan, time.perf_counter() - t0)
     probe_compute = probe_scan / n_chunks
+    probe_parse, probe_parse_cpu = parse_probe(2)  # fourth sampling point
 
     chunk_audio = sum(chunk_t * SAMPLES_PER_GR / sr for sr in sr_by_stream)
     log(
