@@ -208,3 +208,52 @@ def test_mutated_streams_native_python_parity(fixture_classic_lame, fixture_mpeg
             assert len(nsp) == len(psp), (seed, len(nsp), len(psp))
             assert np.array_equal(nsp, psp), seed
             assert np.array_equal(nsl, np.asarray(pb.scalefac_l)), seed
+
+
+def test_mutated_streams_packed8_int16_parity(
+    fixture_classic_lame, fixture_mpeg2
+):
+    """The packed8 interface (int8 tail + head plane — what the corpus
+    pipeline ships) must reconstruct the int16 parse's spectra exactly on
+    bit-flipped streams too, and its OverflowError fallback must only
+    fire when a tail line really exceeds int8 range. (tools/fuzz_soak.py
+    runs the extended version of this gate.)"""
+    import numpy as np
+
+    from go_mp3_tpu.consts import HEAD_LINES
+    from go_mp3_tpu.native import lib as native
+    from tools.fuzz_soak import packed8_all
+
+    if not native.available():
+        pytest.skip("native lib not built")
+
+    for base_data, seeds in (
+        (fixture_classic_lame, range(6)),
+        (fixture_mpeg2, range(6, 12)),
+    ):
+        for seed in seeds:
+            rng = random.Random(900 + seed)
+            m = bytearray(base_data[:40_000])
+            for _ in range(rng.randint(1, 40)):
+                pos = rng.randrange(len(m))
+                m[pos] ^= 1 << rng.randrange(8)
+            m = bytes(m)
+            p = native.NativeParser(m)
+            try:
+                sp16, _, _, _ = p.parse_all()
+            except ValueError:
+                assert packed8_all(m) in (None, "error"), seed
+                continue
+            finally:
+                p.close()
+            r = packed8_all(m)
+            assert r != "error", seed
+            n = sp16.shape[0]
+            ref = sp16.reshape(n, 2, 576)
+            if r is None:
+                tail_ref = ref[:, :, HEAD_LINES:]
+                assert ((tail_ref > 127) | (tail_ref < -128)).any(), seed
+                continue
+            spec8, _ = r
+            assert spec8.shape[0] == n, seed
+            assert np.array_equal(spec8, ref), seed
