@@ -1542,7 +1542,15 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
       if (p->streaming && !p->fed_eof && !p->terminal) p->pos = save_pos;
       break;
     }
-    if (st == gomp3::HARD_ERROR) return g > 0 ? g : -1;
+    if (st == gomp3::HARD_ERROR) {
+#ifdef GOMP3_SSE2
+      // fence the NT stores of the g granules already emitted — every
+      // exit must flow through a fence before the caller hands the
+      // buffers to another thread (e.g. a jax transfer thread)
+      _mm_sfence();
+#endif
+      return g > 0 ? g : -1;
+    }
     for (int gr = 0; gr < produced; gr++) {
       const int16_t* src = sp + gr * 1152;
       int16_t* dh = head16 + (g + gr) * (2 * kHeadLines);

@@ -45,16 +45,21 @@ _F32 = jnp.float32
 #  _HI      real-valued weight matmuls (IMDCT cosines, synthesis N window):
 #           HIGHEST = full f32 MXU emulation, needed for the <= 1-2 LSB
 #           device-vs-exact gates (test_stage_parity, test_golden).
-#  _HI_OH   one-hot / placement matmuls (band expansion, window select,
-#           short-block placement): weights are exactly 0.0 / 1.0, so the
-#           bf16x3 HIGH pass splits f32 operands exactly and every
-#           product is value*1.0 or value*0.0 — the f32 result is
-#           reproduced bit-for-bit at half the MXU passes. VERIFIED on
-#           v5e at bench shapes (tools/profile_fir.py): per-stream
-#           energies over a full 13-chunk corpus scan and raw PCM are
-#           IDENTICAL to HIGHEST, at -0.5 ms/chunk. (HIGH on the
-#           real-valued _HI sites measured the same speed but moved PCM
-#           by 1 LSB — no win, so those stay HIGHEST.)
+#  _HI_OH   used ONLY by _select_by_variant: a [T,6] 0/1 one-hot LHS
+#           against small-INTEGER band-start tables on the RHS. HIGH is
+#           exact here because BOTH operands are exactly representable
+#           in the bf16-pair decomposition (0/1 one-hot; integer table
+#           entries < 2^11) — that is the precondition. Do NOT apply
+#           HIGH to a matmul whose real-valued operand carries full f32
+#           data (HIGH's asymmetric split truncates it to ~16 mantissa
+#           bits; measured 2^-21 relative error). Band expansion uses
+#           _HI_OH_EXPAND below; short-block placement is folded into
+#           _SHORT_M3 which is REAL-valued and must run at HIGHEST.
+#           VERIFIED on v5e at bench shapes (tools/profile_fir.py):
+#           per-stream energies over a full 13-chunk corpus scan and
+#           raw PCM IDENTICAL to HIGHEST, at -0.5 ms/chunk. (HIGH on
+#           the real-valued _HI sites measured the same speed but moved
+#           PCM by 1 LSB — no win, so those stay HIGHEST.)
 _HI = jax.lax.Precision.HIGHEST
 _HI_OH = jax.lax.Precision.HIGH
 # _expand_bands only: per-operand precision. Its RHS is the 0/1
@@ -117,6 +122,25 @@ _E_SHORT = jnp.asarray(T.E_SHORT)  # [6*39, 576]
 _E_SHORT_IS = jnp.asarray(T.E_SHORT_IS)  # [6*39, 576]
 _LINE = jnp.arange(SAMPLES_PER_GR, dtype=jnp.int32)
 _NV = T.N_BAND_VARIANTS
+
+# Machine-checked preconditions for the reduced-precision matmul sites
+# (see _HI_OH/_HI_OH_EXPAND above). These run once at import:
+#  - every expansion matrix handed to _expand_bands as the DEFAULT-precision
+#    RHS must be exactly 0/1 (a single bf16 pass reproduces it exactly);
+#  - every table handed to _select_by_variant as the HIGH-precision RHS must
+#    be small integers (exactly representable in the bf16-pair split).
+# A future edit that routes real-valued data through either slot trips these
+# before any test compares numbers. test_stage_parity additionally pins the
+# operand SIDES structurally via the traced jaxpr.
+for _e_chk in (T.E_LONG, T.E_SHORT, T.E_SHORT_IS):
+    _a = np.asarray(_e_chk)
+    assert ((_a == 0) | (_a == 1)).all(), "expansion matrices must be 0/1"
+for _t_chk in (T.LONG_BAND_START, T.SHORT_BAND_START3):
+    _a = np.asarray(_t_chk)
+    assert (_a == np.round(_a)).all() and np.abs(_a).max() < 2048, (
+        "_select_by_variant tables must be small integers (bf16-pair exact)"
+    )
+del _e_chk, _t_chk, _a
 
 
 def _build_fir_kernel() -> np.ndarray:

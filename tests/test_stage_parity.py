@@ -1,6 +1,6 @@
 """Per-stage device-vs-golden parity on the synthetic corpus.
 
-test_synth_parity.py gates the END-TO-END synthetic decode at maxdiff <= 96
+test_synth_parity.py gates the END-TO-END synthetic decode at maxdiff <= 72
 LSB (error compounds through stages on white-noise spectra). These tests
 localize: every device stage is fed the GOLDEN implementation's input for
 that stage, so each stage's own error is isolated and can be bounded
@@ -144,3 +144,72 @@ def test_stage_polyphase(seed):
             gold[ch, t * 18 : (t + 1) * 18] = pcm.reshape(18, 32)
     d = np.abs(dev - gold)
     assert d.max() <= 1, f"polyphase maxdiff {d.max()} LSB"
+
+
+def test_reduced_precision_sites_pinned():
+    """Machine-check the matmul precision invariants (round-3 ADVICE).
+
+    The device chain runs two classes of reduced-precision matmuls whose
+    exactness depends on WHICH operand carries the one-hot/integer table
+    (granule.py _HI_OH/_HI_OH_EXPAND docs): swapping an einsum's operand
+    order would corrupt device output while passing every CPU numeric
+    test (Precision is a no-op on CPU). This test pins the structure in
+    the traced jaxpr, which is backend-independent:
+
+      - (HIGH, DEFAULT) is legal ONLY with a [6*B, 576] 0/1 expansion
+        matrix on the DEFAULT (rhs) side (_expand_bands);
+      - (HIGH, HIGH) is legal ONLY with a [6, N] small-integer table on
+        the rhs (_select_by_variant);
+      - every other dot_general (IMDCT, polyphase matrixing, one-hot
+        state extraction) must be (HIGHEST, HIGHEST) — in particular the
+        state-extraction one-hots, where HIGH measurably truncates the
+        DATA operand (2^-21 relative) because the one-hot is the lhs.
+
+    Table-value preconditions (0/1-ness, integer range) are asserted at
+    granule.py import.
+    """
+    import jax
+    from jax.lax import Precision
+
+    t = 4
+    sds = jax.ShapeDtypeStruct
+    b = G.GranuleBatch(
+        spectra=sds((t, 2, 576), np.int16),
+        scalefac_l=sds((t, 2, 22), np.int32),
+        scalefac_s=sds((t, 2, 13, 3), np.int32),
+        global_gain=sds((t, 2), np.int32),
+        scalefac_scale=sds((t, 2), np.int32),
+        preflag=sds((t, 2), np.int32),
+        subblock_gain=sds((t, 2, 3), np.int32),
+        block_type=sds((t, 2), np.int32),
+        block_class=sds((t, 2), np.int32),
+        variant=sds((t,), np.int32),
+        ms_flag=sds((t,), bool),
+        is_flag=sds((t,), bool),
+        count1_r=sds((t,), np.int32),
+        mono=sds((t,), bool),
+    )
+    jaxpr = jax.make_jaxpr(G.decode_chunk_impl)(
+        b, G.init_state(), np.int32(t)
+    )
+    dots = [
+        e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"
+    ]
+    assert len(dots) >= 8, "expected the full chain's matmul sites"
+    for e in dots:
+        prec = e.params["precision"]
+        rhs_shape = e.invars[1].aval.shape
+        if prec == (Precision.HIGH, Precision.DEFAULT):
+            assert rhs_shape in ((6 * 22, 576), (6 * 39, 576)), (
+                "DEFAULT-precision operand must be a 0/1 expansion "
+                f"matrix, got rhs {rhs_shape}"
+            )
+        elif prec == (Precision.HIGH, Precision.HIGH):
+            assert len(rhs_shape) == 2 and rhs_shape[0] == 6, (
+                "HIGH/HIGH is reserved for variant one-hot x integer "
+                f"table, got rhs {rhs_shape}"
+            )
+        else:
+            assert prec == (Precision.HIGHEST, Precision.HIGHEST), (
+                f"unexpected matmul precision {prec} (rhs {rhs_shape})"
+            )

@@ -122,13 +122,16 @@ def test_three_way_parity(seed):
     # the same spread) — cancellation in the IMDCT/polyphase sums amplifies
     # f32 rounding. Bounds here are therefore RMS (the ISO-style metric,
     # which stays inside full compliance on every surveyed seed) plus a
-    # loose maxdiff calibrated over 24 seeds (observed max 66, seed 12);
+    # maxdiff calibrated over 24 seeds (observed max 66, seed 12) + ~10%
+    # headroom — tightened from 96 now that test_stage_parity.py bounds
+    # every individual stage, so a multi-LSB stage regression fails a
+    # named test and this gate only guards cross-stage composition;
     # the strict <=2 LSB gate lives in test_dsp_parity.py over real streams.
     def check(x, y, label):
         d = np.abs(x - y)
         rms = float(np.sqrt(((x - y).astype(np.float64) ** 2).mean()))
         assert rms < 0.289, f"{label} rms {rms}"
-        assert d.max() <= 96, f"{label} maxdiff {d.max()}"
+        assert d.max() <= 72, f"{label} maxdiff {d.max()}"
 
     check(a, b, "jax vs golden")
 
