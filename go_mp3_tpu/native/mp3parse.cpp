@@ -19,6 +19,17 @@
 #define GOMP3_SSE2 1
 #endif
 
+// 256-bit AVX2 emission path (the build uses -march=native, so these
+// macros reflect the build host; the .so is rebuilt on import when stale,
+// so a different execution host recompiles for its own ISA). Deliberately
+// ymm, NOT zmm: a zmm variant of the same emission measured ~8% slower
+// WHOLE-parse on this Xeon — the 512-bit license downclock taxes the
+// dominant scalar Huffman loop far more than the 2x-wider stores save.
+#if defined(__AVX2__)
+#include <immintrin.h>
+#define GOMP3_AVX2 1
+#endif
+
 #include "huffman_data.h"
 
 namespace gomp3 {
@@ -1508,6 +1519,21 @@ int gmp_parse_packed(void* pv, int cap, int16_t* spectra, int16_t* side) {
 constexpr int kHeadLines = 64;
 constexpr int kTailLines = 576 - kHeadLines;
 
+#ifdef GOMP3_AVX2
+// 32 int32 -> 32 uint8 by two pack stages (values known 0..255; the
+// 0xD8 qword permutes undo each pack's lane interleave)
+static inline void narrow32_avx2(const int32_t* s, uint8_t* d) {
+  __m256i a = _mm256_loadu_si256((const __m256i*)s);
+  __m256i b = _mm256_loadu_si256((const __m256i*)(s + 8));
+  __m256i c = _mm256_loadu_si256((const __m256i*)(s + 16));
+  __m256i e = _mm256_loadu_si256((const __m256i*)(s + 24));
+  __m256i ab = _mm256_permute4x64_epi64(_mm256_packs_epi32(a, b), 0xD8);
+  __m256i ce = _mm256_permute4x64_epi64(_mm256_packs_epi32(c, e), 0xD8);
+  __m256i r = _mm256_permute4x64_epi64(_mm256_packus_epi16(ab, ce), 0xD8);
+  _mm256_storeu_si256((__m256i*)d, r);
+}
+#endif
+
 int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
                       uint8_t* side8) {
   Parser* p = static_cast<Parser*>(pv);
@@ -1527,6 +1553,15 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
   const bool nt = cap >= 192 &&
                   ((reinterpret_cast<uintptr_t>(tail8) |
                     reinterpret_cast<uintptr_t>(head16)) & 15) == 0;
+#endif
+#ifdef GOMP3_AVX2
+  // 32B-wide NT stores: the per-granule strides (1024 B tail, 256 B head)
+  // are multiples of 32, so base alignment is preserved per granule. Pool
+  // buffers are page-aligned numpy allocations; anything else falls back
+  // to the SSE path below.
+  const bool nt256 = cap >= 192 &&
+                     ((reinterpret_cast<uintptr_t>(tail8) |
+                       reinterpret_cast<uintptr_t>(head16)) & 31) == 0;
 #endif
   int g = 0;
   int16_t sp[2 * 1152];
@@ -1559,6 +1594,48 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
       // zeros directly instead of packing 576 zero lines through the SSE
       // narrow (the device unpack reads the same zeros either way)
       const int nch_emit = (meta[gr * 24 + 1] & 4) ? 1 : 2;
+#ifdef GOMP3_AVX2
+      if (nt256) {
+        // one 32B NT store per 32 tail lines: two 16x16-bit loads ->
+        // saturating pack (lane-interleaved) -> qword permute to restore
+        // order. Range check accumulates min/max and tests once per
+        // channel (same contract as the SSE path: clipped values emit,
+        // sticky overflow flags the fallback).
+        if (nch_emit == 1) {
+          const __m256i z = _mm256_setzero_si256();
+          for (int i = 0; i < kHeadLines; i += 16)
+            _mm256_stream_si256((__m256i*)(dh + kHeadLines + i), z);
+          for (int i = 0; i < kTailLines; i += 32)
+            _mm256_stream_si256((__m256i*)(d8 + kTailLines + i), z);
+        }
+        for (int ch = 0; ch < nch_emit; ch++) {
+          const int16_t* h = src + ch * 576;
+          int16_t* dhc = dh + ch * kHeadLines;
+          for (int i = 0; i < kHeadLines; i += 16)
+            _mm256_stream_si256(
+                (__m256i*)(dhc + i),
+                _mm256_loadu_si256((const __m256i*)(h + i)));
+          const int16_t* t = src + ch * 576 + kHeadLines;
+          int8_t* d = d8 + ch * kTailLines;
+          __m256i amin = _mm256_setzero_si256();
+          __m256i amax = _mm256_setzero_si256();
+          for (int i = 0; i < kTailLines; i += 32) {
+            __m256i a = _mm256_loadu_si256((const __m256i*)(t + i));
+            __m256i b = _mm256_loadu_si256((const __m256i*)(t + i + 16));
+            __m256i pk = _mm256_permute4x64_epi64(
+                _mm256_packs_epi16(a, b), 0xD8);
+            _mm256_stream_si256((__m256i*)(d + i), pk);
+            amin = _mm256_min_epi16(amin, _mm256_min_epi16(a, b));
+            amax = _mm256_max_epi16(amax, _mm256_max_epi16(a, b));
+          }
+          int bad = _mm256_movemask_epi8(_mm256_or_si256(
+              _mm256_cmpgt_epi16(_mm256_set1_epi16(-128), amin),
+              _mm256_cmpgt_epi16(amax, _mm256_set1_epi16(127))));
+          if (__builtin_expect(bad != 0, 0)) p->packed8_overflow = true;
+        }
+        goto emit_sidecar;
+      }
+#endif
 #ifdef GOMP3_SSE2
       if (nt) {
         if (nch_emit == 1) {
@@ -1652,8 +1729,19 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
       memcpy(sd, w, 44);
       const int32_t* sfl_g = sfl + gr * 2 * 22;
       const int32_t* sfs_g = sfs + gr * 2 * 39;
+#ifdef GOMP3_AVX2
+      // packed int32->u8 narrowing, 32 scalefactors per store (values are
+      // 0..15, so saturating packs == the scalar uint8_t cast). In-bounds:
+      // the 32-wide loads stay inside the gr=1 slice of the local arrays.
+      narrow32_avx2(sfl_g, sd + 44);
+      for (int i = 32; i < 44; i++) sd[44 + i] = uint8_t(sfl_g[i]);
+      narrow32_avx2(sfs_g, sd + 88);
+      narrow32_avx2(sfs_g + 32, sd + 120);
+      for (int i = 64; i < 78; i++) sd[88 + i] = uint8_t(sfs_g[i]);
+#else
       for (int i = 0; i < 44; i++) sd[44 + i] = uint8_t(sfl_g[i]);
       for (int i = 0; i < 78; i++) sd[88 + i] = uint8_t(sfs_g[i]);
+#endif
       sd[166] = sd[167] = 0;
     }
     g += produced;
