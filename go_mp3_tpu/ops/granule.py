@@ -620,6 +620,72 @@ def decode_chunk_packed_impl(
     return decode_chunk_impl(batch_from_packed(spectra2, side), state, valid)
 
 
+# ---------------------------------------------------------------------------
+# Fused single-buffer chunk interface: the host ships ONE contiguous uint8
+# buffer per [S, T] chunk instead of three arrays (tail/head/side), so each
+# chunk costs one device_put dispatch instead of three — on a relayed link
+# whose transfer client runs on the (single-core) host, per-transfer
+# bookkeeping is a measurable tax and 3x fewer transfers is free money.
+# Layout (host builder: parallel/corpus.py build_fused_chunk):
+#   [0, S*2*L*T)          int8 tail spectra, CHANNEL-MAJOR LINE-MAJOR
+#                         [S, 2, L, T] where L <= 576-HEAD_LINES is the
+#                         shipped per-channel tail-line count (lines
+#                         HEAD_LINES..HEAD_LINES+L-1; lines past L are
+#                         zero for every granule of the chunk, verified
+#                         by the host against the parsed data)
+#   [A, A + S*T*2*HEAD_WIDTH)  head plane, little-endian int16 bytes
+#                         [S, T, HEAD_WIDTH, 2]
+#   [A + ..., end)        side8 sidecar [S, T, SIDE8_WIDTH] u8
+# The buffer is 2-D [S, stream_bytes] — one row per stream — so the mesh
+# path still shards it on the stream axis. The line-major tail keeps the
+# relay-compression win of the unfused path; the per-channel split keeps a
+# line cap expressible as a prefix slice.
+# ---------------------------------------------------------------------------
+
+_TAIL_LINES_FULL = SAMPLES_PER_GR - HEAD_LINES  # 512
+
+
+def fused_stream_nbytes(t: int, tail_lines: int = _TAIL_LINES_FULL) -> int:
+    """Bytes per stream row of a fused chunk buffer."""
+    from ..consts import HEAD_WIDTH, SIDE8_WIDTH
+
+    return 2 * tail_lines * t + t * 2 * HEAD_WIDTH + t * SIDE8_WIDTH
+
+
+def unpack_fused(buf: jax.Array, t: int, tail_lines: int):
+    """Fused u8 buffer [S, stream_bytes] -> (tail8 [S,T,1024] i8,
+    head16 [S,T,128] i16, side8 [S,T,168] u8). Pure slice/reshape/widen —
+    no gather; capped tail lines are zero-padded back (the host guarantees
+    every granule of the chunk is zero past the cap)."""
+    from ..consts import HEAD_WIDTH, SIDE8_WIDTH
+
+    s = buf.shape[0]
+    a = 2 * tail_lines * t
+    b = a + t * 2 * HEAD_WIDTH
+    tail = jax.lax.bitcast_convert_type(
+        buf[:, :a].reshape(s, 2, tail_lines, t), jnp.int8
+    )
+    if tail_lines < _TAIL_LINES_FULL:
+        tail = jnp.pad(
+            tail, ((0, 0), (0, 0), (0, _TAIL_LINES_FULL - tail_lines), (0, 0))
+        )
+    tail = tail.transpose(0, 3, 1, 2).reshape(s, t, 2 * _TAIL_LINES_FULL)
+    hb = buf[:, a:b].reshape(s, t, HEAD_WIDTH, 2).astype(jnp.int32)
+    v = hb[..., 0] | (hb[..., 1] << 8)
+    head = (v - 2 * (v & 32768)).astype(jnp.int16)  # sign-extend LE pairs
+    side = buf[:, b:].reshape(s, t, SIDE8_WIDTH)
+    return tail, head, side
+
+
+def decode_chunk_fused_batch_impl(
+    buf: jax.Array, states, valids: jax.Array, *, t: int, tail_lines: int
+):
+    """Batched chunk decode over the fused buffer: [S, stream_bytes] u8 ->
+    (pcm [S, T*576, 2], states)."""
+    tail, head, side = unpack_fused(buf, t, tail_lines)
+    return jax.vmap(decode_chunk_packed8_impl)(tail, head, side, states, valids)
+
+
 # Single-stream chunk decode: [T, ...] -> [T*576, 2]
 decode_chunk = jax.jit(decode_chunk_impl)
 

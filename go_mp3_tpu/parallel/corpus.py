@@ -48,12 +48,85 @@ class CorpusResult:
     samples: int  # total output samples (per channel)
 
 
+def build_fused_chunk(
+    spectra: np.ndarray,
+    head: np.ndarray,
+    side: np.ndarray,
+    tail_lines: int = 512,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """Pack one parsed chunk (pool arrays tail8 [S,T,1024] i8, head16
+    [S,T,128] i16, side8 [S,T,168] u8) into the fused one-transfer buffer
+    [S, stream_bytes] u8 (ops.granule.unpack_fused layout): per stream, the
+    CHANNEL-MAJOR LINE-MAJOR int8 tail [2, tail_lines, T], then the head
+    plane's LE bytes, then the sidecar. tail_lines < 512 caps the shipped
+    tail at that per-channel line count — the caller must have verified
+    every granule of the chunk is zero past the cap (see tail_cap_lines)."""
+    from ..consts import HEAD_WIDTH, SIDE8_WIDTH
+    from ..ops.granule import fused_stream_nbytes
+
+    s, t = spectra.shape[:2]
+    a = 2 * tail_lines * t
+    b = a + t * 2 * HEAD_WIDTH
+    buf = out
+    if buf is None:
+        buf = np.empty((s, fused_stream_nbytes(t, tail_lines)), np.uint8)
+    # [S,T,1024] -> [S,T,2,512] -> [S,2,lines,T] prefix slice, strided copy
+    buf[:, :a].reshape(s, 2, tail_lines, t)[:] = spectra.reshape(
+        s, t, 2, 512
+    ).transpose(0, 2, 3, 1)[:, :, :tail_lines].view(np.uint8)
+    buf[:, a:b].reshape(s, t, HEAD_WIDTH, 2)[:] = head.view(np.uint8).reshape(
+        s, t, HEAD_WIDTH, 2
+    )
+    buf[:, b:].reshape(s, t, SIDE8_WIDTH)[:] = side
+    return buf
+
+
+def tail_cap_lines(spectra: np.ndarray, buckets=(448, 512)) -> int:
+    """Smallest bucketed per-channel tail-line count covering every nonzero
+    line of the chunk (spectra [S,T,1024] i8, per-granule [2ch, 512]).
+    Each distinct returned value implies one compiled program variant, so
+    the widths are bucketed; 512 (full) is always a legal answer.
+
+    This scans the spectra (the independent ground truth, used by tests);
+    the production pipeline uses tail_cap_from_side below, which reads the
+    already-parsed count1 words at negligible cost."""
+    nz = spectra.reshape(-1, 2, 512).any(axis=(0, 1))
+    idx = np.nonzero(nz)[0]
+    need = int(idx.max()) + 1 if idx.size else 0
+    for w in buckets:
+        if need <= w:
+            return w
+    return 512
+
+
+def tail_cap_from_side(side: np.ndarray, buckets=(448, 512)) -> int:
+    """Bucketed tail cap from the sidecar's count1 words (side [S,T,168]
+    u8). count1 is the per-channel rzero start the Huffman driver already
+    computed (maindata/huffman.go:92-125 semantics): every line at or past
+    it is zero, so max(count1) - HEAD_LINES bounds the needed tail lines.
+    Equals tail_cap_lines' bucket on any parser-emitted chunk (tests
+    assert this) at ~zero cost."""
+    from ..consts import HEAD_LINES
+
+    c1 = side[..., 40:44:2].astype(np.int32) | (
+        side[..., 41:45:2].astype(np.int32) << 8
+    )  # [S, T, 2] count1 per channel (meta words 20/21)
+    need = int(c1.max()) - HEAD_LINES
+    for w in buckets:
+        if need <= w:
+            return w
+    return 512
+
+
 def decode_corpus_fast(
     stream_bytes: list[bytes],
     chunk_t: int = 256,
     fetch: bool = True,
     mesh=None,
     drain: int | None = None,
+    fused: bool = True,
+    tail_buckets: tuple[int, ...] | None = None,
 ):
     """High-throughput corpus decode: the production pipeline.
 
@@ -87,6 +160,17 @@ def decode_corpus_fast(
     shard the stream axis across chips: streams are independent, so the
     whole scan partitions with zero cross-device communication. len(streams)
     must then divide evenly by the mesh size.
+
+    fused=True (default) ships each chunk as ONE [S, stream_bytes] uint8
+    buffer (build_fused_chunk) instead of three arrays — one transfer
+    dispatch per chunk instead of three. fused=False keeps the three-array
+    interface (kept for A/B measurement and as the documented layout).
+
+    tail_buckets: optional ascending per-channel tail-line widths (e.g.
+    (448, 512)); each fused chunk then ships only up to the smallest
+    bucket covering its nonzero lines (verified host-side against the
+    parsed data — exactness is unconditional). Each distinct width in a
+    corpus implies one compiled scan variant. None = always full width.
     """
     import jax
     import jax.numpy as jnp
@@ -162,12 +246,150 @@ def decode_corpus_fast(
                 p.close()
         return sp_chunks, aux_chunks, valid_rows
 
-    try:
-        int8 = True
-        sp_chunks, aux_chunks, valid_rows = parse_all(int8=True)
-    except OverflowError:
-        int8 = False
-        sp_chunks, aux_chunks, valid_rows = parse_all(int8=False)
+    def emit(parts, host, valids_seg):
+        for c in range(valids_seg.shape[0]):
+            for s in range(n_streams):
+                v = int(valids_seg[c, s])
+                if v:
+                    parts[s].append(
+                        host[c, s, : v * SAMPLES_PER_GR].tobytes()
+                    )
+
+    def parse_all_fused():
+        parsers = [NativeParser(d) for d in stream_bytes]
+        sp8 = np.empty((n_streams, chunk_t, SP8_TAIL_WIDTH), np.int8)
+        head = np.empty((n_streams, chunk_t, HEAD_WIDTH), np.int16)
+        side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
+        buf_chunks, widths, valid_rows = [], [], []
+        try:
+            while True:
+                valids = np.zeros(n_streams, np.int32)
+                for s, p in enumerate(parsers):
+                    n = p.parse_packed8_into(sp8[s], head[s], side[s])
+                    valids[s] = n
+                    if n < chunk_t:
+                        sp8[s, n:] = 0
+                        head[s, n:] = 0
+                        side[s, n:] = 0
+                if not valids.any():
+                    break
+                w = (
+                    tail_cap_from_side(side, tail_buckets)
+                    if tail_buckets
+                    else 512
+                )
+                buf_chunks.append(
+                    put_streamwise(build_fused_chunk(sp8, head, side, w), 0)
+                )
+                widths.append(w)
+                valid_rows.append(valids.copy())
+        finally:
+            for p in parsers:
+                p.close()
+        return buf_chunks, widths, valid_rows
+
+    if fused:
+        try:
+            buf_chunks, widths, valid_rows = parse_all_fused()
+            if not buf_chunks:
+                return CorpusResult(pcm=[b""] * n_streams, granules=0,
+                                    samples=0)
+            valids = np.stack(valid_rows)  # [C, S]
+            states = init_states(n_streams)
+            if mesh is not None:
+                states = jax.tree_util.tree_map(
+                    lambda a: put_streamwise(a, 0), states
+                )
+
+            import functools
+
+            # one compiled scan per distinct width tuple (tail_buckets
+            # bounds the variants; None -> all 512, one program)
+            @functools.lru_cache(maxsize=None)
+            def scan_for(seg_widths: tuple[int, ...]):
+                from ..ops.granule import unpack_fused
+
+                @jax.jit
+                def scan_fused(bufs, states, valids):
+                    tails, heads, sides = [], [], []
+                    for buf, w in zip(bufs, seg_widths):
+                        ta, he, si = unpack_fused(buf, chunk_t, w)
+                        tails.append(ta)
+                        heads.append(he)
+                        sides.append(si)
+                    xs = (
+                        jnp.stack(tails),
+                        jnp.stack(heads),
+                        jnp.stack(sides),
+                        valids,
+                    )
+
+                    def step(st, x):
+                        ta, he, si, v = x
+                        pcm, st = jax.vmap(decode_chunk_packed8_impl)(
+                            ta, he, si, st, v
+                        )
+                        return st, pcm
+
+                    states_out, pcms = jax.lax.scan(step, states, xs)
+                    return pcms, states_out
+
+                return scan_fused
+
+            n_chunks = len(buf_chunks)
+            if drain is not None and fetch and drain < n_chunks:
+                k = drain
+                parts: list[list[bytes]] = [[] for _ in range(n_streams)]
+                from ..ops.granule import fused_stream_nbytes
+
+                pad_buf = jnp.zeros(
+                    (n_streams, fused_stream_nbytes(chunk_t, 512)), jnp.uint8
+                )
+                pending = None
+                for lo in range(0, n_chunks, k):
+                    seg = slice(lo, min(lo + k, n_chunks))
+                    n_pad = k - (seg.stop - seg.start)
+                    bufs_seg = buf_chunks[seg] + [pad_buf] * n_pad
+                    w_seg = tuple(widths[seg]) + (512,) * n_pad
+                    v_seg = np.zeros((k, n_streams), np.int32)
+                    v_seg[: seg.stop - seg.start] = valids[seg]
+                    pcms_dev, states = scan_for(w_seg)(
+                        bufs_seg, states, v_seg
+                    )
+                    if pending is not None:
+                        emit(parts, np.asarray(pending[0]), pending[1])
+                    pending = (pcms_dev, v_seg)
+                if pending is not None:
+                    emit(parts, np.asarray(pending[0]), pending[1])
+                total = int(valids.sum())
+                return CorpusResult(
+                    pcm=[b"".join(p) for p in parts],
+                    granules=total,
+                    samples=total * SAMPLES_PER_GR,
+                )
+
+            pcms, _ = scan_for(tuple(widths))(buf_chunks, states, valids)
+            if not fetch:
+                return pcms, valids
+            host = np.asarray(pcms)
+            parts = [[] for _ in range(n_streams)]
+            emit(parts, host, valids)
+            total = int(valids.sum())
+            return CorpusResult(
+                pcm=[b"".join(p) for p in parts],
+                granules=total,
+                samples=total * SAMPLES_PER_GR,
+            )
+        except OverflowError:
+            int8 = False
+            sp_chunks, aux_chunks, valid_rows = parse_all(int8=False)
+    else:
+        try:
+            int8 = True
+            sp_chunks, aux_chunks, valid_rows = parse_all(int8=True)
+        except OverflowError:
+            int8 = False
+            sp_chunks, aux_chunks, valid_rows = parse_all(int8=False)
 
     if not sp_chunks:
         return CorpusResult(pcm=[b""] * n_streams, granules=0, samples=0)
@@ -203,15 +425,6 @@ def decode_corpus_fast(
             step, states, (sp_all, *aux_all, valids)
         )
         return pcms, states
-
-    def emit(parts, host, valids_seg):
-        for c in range(valids_seg.shape[0]):
-            for s in range(n_streams):
-                v = int(valids_seg[c, s])
-                if v:
-                    parts[s].append(
-                        host[c, s, : v * SAMPLES_PER_GR].tobytes()
-                    )
 
     n_chunks = len(sp_chunks)
     if drain is not None and fetch and drain < n_chunks:

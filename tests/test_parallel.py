@@ -145,3 +145,72 @@ def test_decode_corpus_fast_escape_overflow_fallback():
     ref = Decoder(data, backend="device").read_all()
     assert result.pcm[0] == ref
     assert result.granules == 6
+
+
+def test_decode_corpus_fast_fused_matches_unfused(
+    fixture_classic_lame, fixture_mpeg2
+):
+    """The fused one-buffer-per-chunk transfer layout (and its bucketed
+    tail-line capping) is byte-identical to the three-array interface,
+    including ragged lengths and aggressive caps that force zero-padding
+    of most of the tail plane."""
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    streams = [
+        fixture_classic_lame,
+        fixture_mpeg2[:40_000],
+        fixture_classic_lame[:30_000],
+    ]
+    ref = decode_corpus_fast(streams, chunk_t=64, fused=False)
+    got = decode_corpus_fast(streams, chunk_t=64)  # fused default
+    assert got.pcm == ref.pcm and got.granules == ref.granules
+    capped = decode_corpus_fast(
+        streams, chunk_t=64, tail_buckets=(64, 192, 448, 512)
+    )
+    assert capped.pcm == ref.pcm
+
+
+def test_tail_cap_lines_buckets():
+    """tail_cap_lines picks the smallest bucket covering all nonzero
+    lines, and build_fused_chunk's capped emission round-trips exactly."""
+    import numpy as np
+
+    from go_mp3_tpu.parallel.corpus import tail_cap_lines
+
+    sp = np.zeros((2, 4, 1024), np.int8)
+    assert tail_cap_lines(sp, (64, 448, 512)) == 64
+    sp.reshape(2, 4, 2, 512)[1, 2, 1, 300] = 5  # line 300 of ch1
+    assert tail_cap_lines(sp, (64, 448, 512)) == 448
+    sp.reshape(2, 4, 2, 512)[0, 0, 0, 460] = -3
+    assert tail_cap_lines(sp, (64, 448, 512)) == 512
+
+
+def test_tail_cap_from_side_matches_spectra(fixture_classic_lame, fixture_mpeg2):
+    """The production count1-based cap equals the spectra-scan ground
+    truth on parser-emitted chunks (both fixtures, several chunks)."""
+    import numpy as np
+
+    from go_mp3_tpu.consts import HEAD_WIDTH, SIDE8_WIDTH, SP8_TAIL_WIDTH
+    from go_mp3_tpu.native.lib import NativeParser
+    from go_mp3_tpu.parallel.corpus import tail_cap_from_side, tail_cap_lines
+
+    buckets = (64, 128, 192, 256, 320, 384, 448, 512)
+    for data in (fixture_classic_lame, fixture_mpeg2):
+        p = NativeParser(data)
+        sp = np.zeros((1, 128, SP8_TAIL_WIDTH), np.int8)
+        he = np.zeros((1, 128, HEAD_WIDTH), np.int16)
+        sd = np.zeros((1, 128, SIDE8_WIDTH), np.uint8)
+        for _ in range(4):
+            n = p.parse_packed8_into(sp[0], he[0], sd[0])
+            if n == 0:
+                break
+            sp[0, n:] = 0
+            sd[0, n:] = 0
+            truth = tail_cap_lines(sp, buckets)
+            fast = tail_cap_from_side(sd, buckets)
+            # count1 bounds the nonzero extent from above, so the fast cap
+            # may land one bucket higher but never lower (lower would drop
+            # nonzero lines)
+            assert fast >= truth, (fast, truth)
+            assert fast <= 512
+        p.close()
