@@ -127,6 +127,7 @@ def decode_corpus_fast(
     drain: int | None = None,
     fused: bool = True,
     tail_buckets: tuple[int, ...] | None = None,
+    n_threads: int = 1,
 ):
     """High-throughput corpus decode: the production pipeline.
 
@@ -171,6 +172,14 @@ def decode_corpus_fast(
     bucket covering its nonzero lines (verified host-side against the
     parsed data — exactness is unconditional). Each distinct width in a
     corpus implies one compiled scan variant. None = always full width.
+
+    n_threads: parse the (independent) streams with a pool of k worker
+    threads, each owning a fixed disjoint lane subset — SURVEY section 7(b)
+    "many independent streams parsed in parallel threads". The C parser
+    calls drop the GIL and each lane's parser/output rows are touched by
+    exactly one worker, so output is byte-identical to serial (tested with
+    k=2). Scaling needs cores: this repo's 1-core dev host demonstrates
+    correctness, not speedup. Fused path only.
     """
     import jax
     import jax.numpy as jnp
@@ -261,16 +270,42 @@ def decode_corpus_fast(
         head = np.empty((n_streams, chunk_t, HEAD_WIDTH), np.int16)
         side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
         buf_chunks, widths, valid_rows = [], [], []
+
+        executor = None
+        lane_groups = None
+        if n_threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            k = min(n_threads, n_streams)
+            executor = ThreadPoolExecutor(max_workers=k)
+            # contiguous disjoint lane blocks: each worker owns its
+            # parsers and its rows of the pool arrays for the whole run
+            bounds = [round(i * n_streams / k) for i in range(k + 1)]
+            lane_groups = [
+                range(bounds[i], bounds[i + 1]) for i in range(k)
+            ]
+
+        def parse_lanes(group, valids):
+            for s in group:
+                n = parsers[s].parse_packed8_into(sp8[s], head[s], side[s])
+                valids[s] = n
+                if n < chunk_t:
+                    sp8[s, n:] = 0
+                    head[s, n:] = 0
+                    side[s, n:] = 0
+
         try:
             while True:
                 valids = np.zeros(n_streams, np.int32)
-                for s, p in enumerate(parsers):
-                    n = p.parse_packed8_into(sp8[s], head[s], side[s])
-                    valids[s] = n
-                    if n < chunk_t:
-                        sp8[s, n:] = 0
-                        head[s, n:] = 0
-                        side[s, n:] = 0
+                if executor is not None:
+                    futs = [
+                        executor.submit(parse_lanes, g, valids)
+                        for g in lane_groups
+                    ]
+                    for f in futs:
+                        f.result()  # re-raises worker exceptions
+                else:
+                    parse_lanes(range(n_streams), valids)
                 if not valids.any():
                     break
                 w = (
@@ -284,6 +319,8 @@ def decode_corpus_fast(
                 widths.append(w)
                 valid_rows.append(valids.copy())
         finally:
+            if executor is not None:
+                executor.shutdown(wait=True)
             for p in parsers:
                 p.close()
         return buf_chunks, widths, valid_rows

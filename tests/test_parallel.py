@@ -214,3 +214,25 @@ def test_tail_cap_from_side_matches_spectra(fixture_classic_lame, fixture_mpeg2)
             assert fast >= truth, (fast, truth)
             assert fast <= 512
         p.close()
+
+
+def test_decode_corpus_fast_threaded_parse_identical(
+    fixture_classic_lame, fixture_mpeg2
+):
+    """n_threads=2 (disjoint lane subsets, GIL-free C parser calls) is
+    byte-identical to the serial parse — the SURVEY section 7(b) threaded
+    fleet-parse capability. This 1-core host demonstrates correctness,
+    not speedup."""
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    streams = [
+        fixture_classic_lame,
+        fixture_mpeg2[:60_000],
+        fixture_classic_lame[:30_000],
+        fixture_mpeg2[:25_000],
+    ]
+    ref = decode_corpus_fast(streams, chunk_t=64)
+    got = decode_corpus_fast(streams, chunk_t=64, n_threads=2)
+    assert got.pcm == ref.pcm and got.granules == ref.granules
+    got3 = decode_corpus_fast(streams, chunk_t=64, n_threads=3)
+    assert got3.pcm == ref.pcm
