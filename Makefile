@@ -6,7 +6,7 @@
 PY ?= python
 
 .PHONY: all check lint test coverage bench bench-single bench-save \
-        bench-compare profile native gen clean
+        bench-compare profile native gen conformance clean
 
 all: check
 
@@ -52,6 +52,12 @@ bench-compare:
 
 profile:
 	$(PY) tools/profile_decode.py
+
+# self-contained oracle-verification artifact (conformance/): PCM SHA-256s
+# + pairwise ISO metrics for all three backends + the exact mpg123
+# invocations for an oracle-equipped machine
+conformance:
+	$(PY) tools/conformance.py
 
 clean:
 	rm -rf go_mp3_tpu/native/libmp3parse.so .pytest_cache

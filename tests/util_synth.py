@@ -214,7 +214,8 @@ def low_bitrate_mpeg2_stream(n_fillers: int = 19, n_trailing: int = 6):
     return b"".join(frames), n_fillers, n_fillers + 1 + n_trailing
 
 
-def escape_heavy_frame(n_pairs: int = 20, linbit_value: int = 4000) -> bytes:
+def escape_heavy_frame(n_pairs: int = 20, linbit_value: int = 4000,
+                       global_gain: int = 210) -> bytes:
     """A valid MONO MPEG-1 Layer III frame whose two granules each carry
     `n_pairs` big-value pairs of (15+linbit, 15+linbit) via Huffman table 23
     (linbits 13) — every coded line has |x| > 127, reaching past the int8
@@ -236,7 +237,7 @@ def escape_heavy_frame(n_pairs: int = 20, linbit_value: int = 4000) -> bytes:
     for _gr in range(2):
         si.write(p23, 12)  # part2_3_length
         si.write(n_pairs, 9)  # big_values
-        si.write(210, 8)  # global_gain
+        si.write(global_gain, 8)  # global_gain
         si.write(0, 4)  # scalefac_compress -> slen 0/0
         si.write(0, 1)  # window_switching
         si.write(23, 5)  # table_select region0
