@@ -88,6 +88,7 @@ def main() -> None:
         HEAD_WIDTH,
         SIDE8_WIDTH,
         SP8_TAIL_WIDTH,
+        BatchParser,
         NativeParser,
         index_stream,
     )
@@ -162,22 +163,18 @@ def main() -> None:
     parse_samples_wall: list[float] = []
     parse_samples_cpu: list[float] = []
 
+    probe_valids = np.zeros(n_streams, np.int32)
+
     def parse_probe(reps: int):
         for _ in range(reps):
-            parsers = [NativeParser(d) for d in stream_data]
+            bp = BatchParser(stream_data)
             t0 = time.perf_counter()
             c0 = time.process_time()
             for spectra, head, side in pool:
-                for s, p in enumerate(parsers):
-                    n = p.parse_packed8_into(spectra[s], head[s], side[s])
-                    if n < chunk_t:
-                        spectra[s, n:] = 0
-                        head[s, n:] = 0
-                        side[s, n:] = 0
+                bp.parse_chunk_into(spectra, head, side, probe_valids)
             parse_samples_wall.append(time.perf_counter() - t0)
             parse_samples_cpu.append(time.process_time() - c0)
-            for p in parsers:
-                p.close()
+            bp.close()
 
     parse_probe(2)  # also warms the pool pages before anything is timed
 
@@ -256,18 +253,12 @@ def main() -> None:
     def one_run(overlap: bool):
         states = init_states(n_streams)
         t_start = time.perf_counter()
-        parsers = [NativeParser(d) for d in stream_data]
+        bp = BatchParser(stream_data)
         valids = np.zeros((n_chunks, n_streams), np.int32)
         bufs, host_bufs = [], []
         t0 = time.perf_counter()
         for c, (spectra, head, side) in enumerate(pool):
-            for s, p in enumerate(parsers):
-                n = p.parse_packed8_into(spectra[s], head[s], side[s])
-                valids[c, s] = n
-                if n < chunk_t:
-                    spectra[s, n:] = 0
-                    head[s, n:] = 0
-                    side[s, n:] = 0
+            bp.parse_chunk_into(spectra, head, side, valids[c])
             fb = build_fused_chunk(
                 spectra, head, side, widths[c], out=fused_pool[c]
             )
@@ -280,8 +271,7 @@ def main() -> None:
             else:
                 host_bufs.append(fb)
         parse_wall = time.perf_counter() - t0
-        for p in parsers:
-            p.close()
+        bp.close()
         if not overlap:
             bufs = [jax.device_put(b) for b in host_bufs]
         energies, _ = compiled(bufs, states, valids)

@@ -106,6 +106,17 @@ def _load():
     ]
     lib.gmp_packed8_overflow.restype = ctypes.c_int
     lib.gmp_packed8_overflow.argtypes = [ctypes.c_void_p]
+    lib.gmp_parse_packed8_many.restype = ctypes.c_int
+    lib.gmp_parse_packed8_many.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_int8),
+        ctypes.POINTER(ctypes.c_int16),
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.gmp_create_stream.restype = ctypes.c_void_p
     lib.gmp_create_stream.argtypes = []
     lib.gmp_terminal.restype = ctypes.c_int
@@ -335,6 +346,73 @@ class NativeParser:
                 z((0, META_WIDTH), np.int32),
             )
         return tuple(np.concatenate([p[i] for p in parts]) for i in range(4))
+
+
+class BatchParser:
+    """Many-stream chunk parser: one C call per [S, T] chunk (the corpus
+    pipeline's inner loop), with partial-chunk rows zero-padded in C.
+    Wraps per-stream NativeParsers; close() releases them all."""
+
+    def __init__(self, stream_bytes: list[bytes]):
+        self.parsers = [NativeParser(d) for d in stream_bytes]
+        self._lib = _load()
+        self._handles = (ctypes.c_void_p * len(self.parsers))(
+            *[p._p for p in self.parsers]
+        )
+
+    def parse_chunk_into(
+        self,
+        tail8: np.ndarray,
+        head16: np.ndarray,
+        side8: np.ndarray,
+        valids: np.ndarray,
+    ) -> int:
+        """Parse the next chunk of every stream into [S, cap, ...] arrays
+        (shapes [S,cap,SP8_TAIL_WIDTH] i8 / [S,cap,HEAD_WIDTH] i16 /
+        [S,cap,SIDE8_WIDTH] u8, valids [S] i32). Returns max granules
+        across streams (0 = corpus exhausted). Raises like
+        parse_packed8_into on hard error / int8 overflow."""
+        s, cap = tail8.shape[0], tail8.shape[1]
+        assert tail8.shape == (s, cap, SP8_TAIL_WIDTH) and tail8.dtype == np.int8
+        assert head16.shape == (s, cap, HEAD_WIDTH) and head16.dtype == np.int16
+        assert side8.shape == (s, cap, SIDE8_WIDTH) and side8.dtype == np.uint8
+        assert valids.shape == (s,) and valids.dtype == np.int32
+        for a in (tail8, head16, side8, valids):
+            assert a.flags.c_contiguous
+        err_stream = ctypes.c_int32(-1)
+        n = self._lib.gmp_parse_packed8_many(
+            self._handles,
+            s,
+            cap,
+            tail8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            _i16p(head16),
+            side8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _i32p(valids),
+            ctypes.byref(err_stream),
+        )
+        if n == -1:
+            err = self._lib.gmp_error(
+                self.parsers[err_stream.value]._p
+            ).decode()
+            raise ValueError(
+                f"mp3: native parse failed (stream {err_stream.value}): {err}"
+            )
+        if n == -2:
+            raise OverflowError(
+                "mp3: tail spectra clipped int8; use parse_packed_into "
+                f"(stream {err_stream.value})"
+            )
+        return n
+
+    def close(self) -> None:
+        for p in self.parsers:
+            p.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 class StreamingNativeParser(NativeParser):

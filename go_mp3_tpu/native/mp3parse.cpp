@@ -1756,6 +1756,48 @@ int gmp_packed8_overflow(void* pv) {
   return static_cast<Parser*>(pv)->packed8_overflow ? 1 : 0;
 }
 
+// Parse ONE chunk for MANY streams in a single call: per stream s, up to
+// `cap` granules into row block s of the [n_streams, cap, ...] arrays,
+// with rows past the produced count zero-filled here (C memset, not
+// numpy). Saves the per-stream ctypes dispatch + numpy view/padding
+// overhead of the Python chunk loop (~12 us x streams x chunks, ~2-3% of
+// a 64-stream corpus parse). valids[s] = granules produced for stream s.
+// Returns the max granule count across streams (0 = corpus exhausted),
+// -1 on hard error, -2 on int8 overflow; *err_stream then names the
+// offending stream.
+int gmp_parse_packed8_many(void** pv, int n_streams, int cap, int8_t* tail8,
+                           int16_t* head16, uint8_t* side8, int32_t* valids,
+                           int32_t* err_stream) {
+  const size_t tail_row = size_t(cap) * (2 * kTailLines);
+  const size_t head_row = size_t(cap) * (2 * kHeadLines);
+  const size_t side_row = size_t(cap) * 168;
+  int mx = 0;
+  for (int s = 0; s < n_streams; s++) {
+    Parser* p = static_cast<Parser*>(pv[s]);
+    int n = gmp_parse_packed8(p, cap, tail8 + s * tail_row,
+                              head16 + s * head_row, side8 + s * side_row);
+    if (n < 0) {
+      *err_stream = s;
+      return -1;
+    }
+    if (p->packed8_overflow) {
+      *err_stream = s;
+      return -2;
+    }
+    valids[s] = n;
+    if (n < cap) {
+      memset(tail8 + s * tail_row + size_t(n) * (2 * kTailLines), 0,
+             size_t(cap - n) * (2 * kTailLines));
+      memset(head16 + s * head_row + size_t(n) * (2 * kHeadLines), 0,
+             size_t(cap - n) * (2 * kHeadLines) * sizeof(int16_t));
+      memset(side8 + s * side_row + size_t(n) * 168, 0,
+             size_t(cap - n) * 168);
+    }
+    if (n > mx) mx = n;
+  }
+  return mx;
+}
+
 // Whole-file header-only index scan (mirrors decoder.py
 // _ensure_frame_starts_and_length). Fills starts[cap]; returns frame count
 // (may exceed cap — call again with a bigger buffer), and outputs

@@ -265,7 +265,10 @@ def decode_corpus_fast(
                     )
 
     def parse_all_fused():
-        parsers = [NativeParser(d) for d in stream_bytes]
+        from ..native.lib import BatchParser
+
+        batch = BatchParser(stream_bytes)
+        parsers = batch.parsers
         sp8 = np.empty((n_streams, chunk_t, SP8_TAIL_WIDTH), np.int8)
         head = np.empty((n_streams, chunk_t, HEAD_WIDTH), np.int16)
         side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
@@ -305,7 +308,8 @@ def decode_corpus_fast(
                     for f in futs:
                         f.result()  # re-raises worker exceptions
                 else:
-                    parse_lanes(range(n_streams), valids)
+                    # serial path: one C call for the whole [S, T] chunk
+                    batch.parse_chunk_into(sp8, head, side, valids)
                 if not valids.any():
                     break
                 w = (
