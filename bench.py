@@ -176,7 +176,7 @@ def main() -> None:
             parse_samples_cpu.append(time.process_time() - c0)
             bp.close()
 
-    parse_probe(2)  # also warms the pool pages before anything is timed
+    parse_probe(3)  # also warms the pool pages before anything is timed
 
     # per-chunk tail caps (corpus metadata, like shapes — computed in this
     # untimed geometry pass from the parsed spectra, the exact ground
@@ -306,7 +306,7 @@ def main() -> None:
     end_to_end_median = audio_secs / statistics.median(all_walls)
 
     # ---- untimed probes: per-phase steady-state costs ----------------------
-    parse_probe(2)  # separated sampling points for the ceiling term
+    parse_probe(3)  # separated sampling points for the ceiling term
 
     # fused pack cost (the transfer-layout copy; inside every timed run,
     # excluded from the transfer-free ceiling — see module docstring)
@@ -329,13 +329,13 @@ def main() -> None:
     jax.block_until_ready(bufs_res)
     valids_full = np.full((n_chunks, n_streams), chunk_t, np.int32)
     probe_scan = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         e2, _ = compiled(bufs_res, init_states(n_streams), valids_full)
         np.asarray(e2)
         probe_scan = min(probe_scan, time.perf_counter() - t0)
     probe_compute = probe_scan / n_chunks
-    parse_probe(1)  # final sampling point
+    parse_probe(2)  # final sampling points
 
     parse_min = min(parse_samples_cpu)
     parse_med = statistics.median(parse_samples_cpu)
