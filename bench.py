@@ -104,7 +104,13 @@ def main() -> None:
 
     n_classic, n_mpeg2 = 48, 16
     n_streams = n_classic + n_mpeg2
-    chunk_t = int(os.environ.get("GOMP3_CHUNK_T", "256"))
+    # 240 granules/chunk: same 13 chunks as 256 on this corpus but only 3%
+    # padding slots instead of 9.9% (classic lanes are 3080 granules,
+    # 12.83x240; mpeg2 2872) — measured ceiling min 5573x/med 5344x vs
+    # 5365/5124 at 256, end-to-end 796x vs 652x (some of that is relay
+    # weather; the slot-waste cut is the structural part). chunk_t=512 was
+    # measured +5%/granule-slot in round 3 — bigger is not better here.
+    chunk_t = int(os.environ.get("GOMP3_CHUNK_T", "240"))
     buckets = tuple(
         int(b)
         for b in os.environ.get("GOMP3_TAIL_BUCKETS", "464,512").split(",")
