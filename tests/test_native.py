@@ -440,3 +440,32 @@ def test_packed8_large_and_small_caps_byte_identical(
         assert big[0].shape == small[0].shape
         for a, b in zip(big, small):
             assert np.array_equal(a, b)
+
+
+def test_batch_parser_hard_error_names_stream(fixture_classic_lame):
+    """A malformed stream mid-corpus raises ValueError naming the lane
+    (gmp_parse_packed8_many's err_stream out-param)."""
+    import numpy as np
+    import pytest
+
+    from go_mp3_tpu.consts import HEAD_WIDTH, SIDE8_WIDTH, SP8_TAIL_WIDTH
+    from go_mp3_tpu.native.lib import BatchParser, index_stream
+
+    good = fixture_classic_lame
+    starts, _, _ = index_stream(good)
+    # corrupt a frame header to bitrate_index 0 (free-bitrate format):
+    # still a valid sync, then the reference's hard "free bitrate" error
+    # (frameheader.go:323-326 semantics)
+    bad = bytearray(good)
+    off = int(starts[3])
+    bad[off + 2] &= 0x0F  # bitrate_index -> 0
+    bp = BatchParser([good, bytes(bad), good])
+    sp = np.zeros((3, 64, SP8_TAIL_WIDTH), np.int8)
+    he = np.zeros((3, 64, HEAD_WIDTH), np.int16)
+    sd = np.zeros((3, 64, SIDE8_WIDTH), np.uint8)
+    valids = np.zeros(3, np.int32)
+    with pytest.raises(ValueError, match="stream 1"):
+        for _ in range(64):
+            if bp.parse_chunk_into(sp, he, sd, valids) == 0:
+                break
+    bp.close()
