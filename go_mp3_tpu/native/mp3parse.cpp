@@ -1066,6 +1066,12 @@ struct Parser {
   //    pipelining with reservoir rollback) measured ~10% slower than the
   //    4 within-frame lanes — the OoO core saturates at 4 chains and the
   //    extra lanes just add L1 pressure;
+  //  - round 4: a TWO-PAIRS-PER-LOOKUP LUT for the small no-linbits
+  //    tables (values <= 3; four 3-bit signed fields + 4-bit advance in
+  //    u16; ~27% of pair decodes on classic_lame) measured 5-15% SLOWER
+  //    whole-parse at both 12-bit (8 KB/table) and 10-bit (2 KB/table)
+  //    widths — the added per-step branch + L1 pressure beat the saved
+  //    serial lookups. Same lesson as the drain experiments below.
   //  - round 3: extending the in-window pair drain past 4 symbols
   //    (dynamic `adv + sbits <= valid-bits` loop: 0.84x; static 6-symbol
   //    unroll + validity check: 0.94x), draining count1 quads past 4
