@@ -5,8 +5,8 @@ Pipeline (round 4): the native C++ parser fills three flat pool arrays per
 chunk (int8 tail spectra [S,T,1024] + exact int16 head plane [S,T,128] +
 byte sidecar [S,T,168] — gmp_parse_packed8), which the host packs into ONE
 fused uint8 buffer per chunk ([S, stream_bytes]; channel-major line-major
-tail, optionally capped at the chunk's bucketed max nonzero tail line from
-the parsed count1 words). One transfer dispatch per chunk instead of three
+tail, optionally capped at the chunk's bucketed max nonzero tail line as
+measured from the parsed spectra). One transfer dispatch per chunk instead of three
 — the transfer client runs on this single shared host core, so per-transfer
 bookkeeping is real cost. The whole corpus then decodes in ONE jitted
 lax.scan over chunks (state carried on-device), amortizing per-execute
@@ -127,26 +127,33 @@ def main() -> None:
 
     log(f"devices: {jax.devices()}")
 
-    # geometry pass (untimed): per-lane lengths/rates + per-chunk tail caps
-    spp = np.zeros((8192, SP8_TAIL_WIDTH), np.int8)
-    escp = np.zeros((8192, HEAD_WIDTH), np.int16)
-    sdp = np.zeros((8192, SIDE8_WIDTH), np.uint8)
+    # geometry pass (untimed): per-lane lengths/rates + per-chunk tail
+    # caps. n_chunks is counted with CHUNK-SIZED parse calls, not derived
+    # as ceil(granules/chunk_t): a chunk of 1-granule-per-frame (MPEG-2
+    # LSF) streams holds at most chunk_t-1 granules (the parser keeps 2
+    # slots free per frame), so the arithmetic bound can undercount and
+    # silently leave a stream tail unparsed.
+    spp = np.zeros((chunk_t, SP8_TAIL_WIDTH), np.int8)
+    escp = np.zeros((chunk_t, HEAD_WIDTH), np.int16)
+    sdp = np.zeros((chunk_t, SIDE8_WIDTH), np.uint8)
     gr_by_stream, sr_by_stream = [], []
+    n_chunks = 0
     for data in stream_data:
         p = NativeParser(data)
-        total = 0
+        total, calls = 0, 0
         while True:
             n = p.parse_packed8_into(spp, escp, sdp)
             if n == 0:
                 break
             total += n
+            calls += 1
         gr_by_stream.append(total)
         sr_by_stream.append(p.sample_rate)
+        n_chunks = max(n_chunks, calls)
         p.close()
     audio_secs = sum(
         g * SAMPLES_PER_GR / sr for g, sr in zip(gr_by_stream, sr_by_stream)
     )
-    n_chunks = max(-(-g // chunk_t) for g in gr_by_stream)
     total_granules = sum(gr_by_stream)
 
     # chunk buffer pool (parser emission targets) + fused transfer buffers,
@@ -185,10 +192,10 @@ def main() -> None:
     parse_probe(3)  # also warms the pool pages before anything is timed
 
     # per-chunk tail caps (corpus metadata, like shapes — computed in this
-    # untimed geometry pass from the parsed spectra, the exact ground
-    # truth; a live pipeline gets a slightly looser cap for free from the
-    # parsed count1 words via tail_cap_from_side: count1 bounds the
-    # nonzero extent from above, 484 vs 458 actual on this corpus)
+    # untimed geometry pass from the parsed spectra via tail_cap_lines,
+    # the exact ground truth; count1-based capping is NOT equivalent —
+    # count1 is a pre-reorder boundary and the short-block permutation
+    # can move nonzero lines above it, see tail_cap_from_side's docs)
     if buckets:
         widths = [tail_cap_lines(sp, buckets) for sp, _, _ in pool]
     else:
@@ -278,6 +285,10 @@ def main() -> None:
                 host_bufs.append(fb)
         parse_wall = time.perf_counter() - t0
         bp.close()
+        # every stream must have exhausted within the pool's chunk budget
+        assert int(valids.sum()) == total_granules, (
+            int(valids.sum()), total_granules
+        )
         if not overlap:
             bufs = [jax.device_put(b) for b in host_bufs]
         energies, _ = compiled(bufs, states, valids)

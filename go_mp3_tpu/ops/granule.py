@@ -55,7 +55,8 @@ _F32 = jnp.float32
 #           bits; measured 2^-21 relative error). Band expansion uses
 #           _HI_OH_EXPAND below; short-block placement is folded into
 #           _SHORT_M3 which is REAL-valued and must run at HIGHEST.
-#           VERIFIED on v5e at bench shapes (tools/profile_fir.py):
+#           VERIFIED on v5e at bench shapes (round-3 A/B harness,
+#           in git history at the round-4 tools consolidation commit):
 #           per-stream energies over a full 13-chunk corpus scan and
 #           raw PCM IDENTICAL to HIGHEST, at -0.5 ms/chunk. (HIGH on
 #           the real-valued _HI sites measured the same speed but moved
@@ -65,7 +66,8 @@ _HI_OH = jax.lax.Precision.HIGH
 # _expand_bands only: per-operand precision. Its RHS is the 0/1
 # expansion matrix — exact in a SINGLE bf16 pass — while the data LHS
 # still gets the exact bf16x3 split. Verified bitwise on v5e
-# (tools/profile_aa.py: corpus-scan energies + PCM identical), -0.1
+# (round-3 A/B harness, git history: corpus-scan energies + PCM
+# identical), -0.1
 # ms/chunk. _select_by_variant must NOT use this: its one-hot is the
 # LHS and its rhs is a REAL-valued table (band starts like 418 are not
 # bf16-representable).
@@ -441,7 +443,7 @@ def _polyphase(
     transpose (1.93 ms/chunk) beats granule-major wire with no
     transpose (2.43) and widen-to-i16-then-transpose (2.11) — the
     transposed copy lands the layout the rest of the chain wants, so it
-    is not overhead at all. Also at parity (tools/profile_unpack2.py):
+    is not overhead at all. Also at parity (round-3 A/B harness, git history):
     the transpose as an int8 one-hot MXU dot_general (exact s32 accum),
     and emitting the v einsum in "ctsi" order to fold the [T,2,18,64]
     -> [2,rows,64] relayout into the dot — XLA already handles both.
@@ -527,7 +529,7 @@ def decode_chunk_impl(
     # measured 2.0 ms/chunk at bench shapes on v5e. The one-hot rows
     # select the same f32 values bit-exactly at HIGHEST (products are
     # value*1.0; verified maxdiff 0.0 over a ragged-valid corpus scan,
-    # tools/profile_state.py). NOTE: HIGH is NOT enough here — its
+    # round-3 A/B harness, git history). NOTE: HIGH is NOT enough here — its
     # asymmetric bf16 decomposition truncates the data operand to ~16
     # mantissa bits when the one-hot is on the LHS (measured 2^-21
     # relative error).

@@ -102,13 +102,22 @@ def tail_cap_lines(spectra: np.ndarray, buckets=(448, 512)) -> int:
 
 def tail_cap_from_side(side: np.ndarray, buckets=(448, 512)) -> int:
     """Bucketed tail cap from the sidecar's count1 words (side [S,T,168]
-    u8). count1 is the per-channel rzero start the Huffman driver already
-    computed (maindata/huffman.go:92-125 semantics): every line at or past
-    it is zero, so max(count1) - HEAD_LINES bounds the needed tail lines.
-    Equals tail_cap_lines' bucket on any parser-emitted chunk (tests
-    assert this) at ~zero cost."""
+    u8) — a conservative FAST bound; the production fused path uses
+    tail_cap_lines (the spectra scan) instead, which is exact by
+    construction.
+
+    count1 is the per-channel rzero start the Huffman driver computed
+    (maindata/huffman.go:92-125 semantics) — but it is a PRE-reorder
+    boundary, and the emitted spectra are POST-reorder: the short-block
+    permutation can move a nonzero line from below count1 to above it.
+    This helper therefore only trusts count1 for chunks whose granules
+    are ALL long-block (block_class 0 both channels, meta word 12/13);
+    any short/mixed granule forces the full 512-line width."""
     from ..consts import HEAD_LINES
 
+    cls = side[..., 24:28].astype(np.int32)  # LE bytes of meta words 12/13
+    if cls.any():
+        return 512
     c1 = side[..., 40:44:2].astype(np.int32) | (
         side[..., 41:45:2].astype(np.int32) << 8
     )  # [S, T, 2] count1 per channel (meta words 20/21)
@@ -117,6 +126,34 @@ def tail_cap_from_side(side: np.ndarray, buckets=(448, 512)) -> int:
         if need <= w:
             return w
     return 512
+
+
+def _drained_result(n_chunks, k, run_segment, valids, emit, n_streams):
+    """Shared drain pipeline: segment the corpus through a k-chunk
+    compiled scan and fetch each segment's PCM while the NEXT segment
+    computes (the device works under the blocking host-side np.asarray of
+    the previous segment). run_segment(seg, v_seg) executes the scan for
+    chunk slice `seg` (padding to k chunks itself) and returns the
+    device PCM array; both the fused and three-array paths plug in here
+    so the pipelining/padding/emit logic exists once."""
+    parts: list[list[bytes]] = [[] for _ in range(n_streams)]
+    pending = None  # (pcms on device, valids of that segment)
+    for lo in range(0, n_chunks, k):
+        seg = slice(lo, min(lo + k, n_chunks))
+        v_seg = np.zeros((k, n_streams), np.int32)
+        v_seg[: seg.stop - seg.start] = valids[seg]
+        pcms_dev = run_segment(seg, v_seg)
+        if pending is not None:
+            emit(parts, np.asarray(pending[0]), pending[1])
+        pending = (pcms_dev, v_seg)
+    if pending is not None:
+        emit(parts, np.asarray(pending[0]), pending[1])
+    total = int(valids.sum())
+    return CorpusResult(
+        pcm=[b"".join(p) for p in parts],
+        granules=total,
+        samples=total * SAMPLES_PER_GR,
+    )
 
 
 def decode_corpus_fast(
@@ -169,9 +206,12 @@ def decode_corpus_fast(
 
     tail_buckets: optional ascending per-channel tail-line widths (e.g.
     (448, 512)); each fused chunk then ships only up to the smallest
-    bucket covering its nonzero lines (verified host-side against the
-    parsed data — exactness is unconditional). Each distinct width in a
-    corpus implies one compiled scan variant. None = always full width.
+    bucket covering its nonzero lines, determined by SCANNING the parsed
+    spectra (tail_cap_lines) so exactness is unconditional. One scan
+    program is compiled per distinct per-corpus width TUPLE. Ignored
+    when drain is set (per-segment width tuples would compile up to
+    |buckets|^drain variants — remote compiles cost minutes each).
+    None = always full width.
 
     n_threads: parse the (independent) streams with a pool of k worker
     threads, each owning a fixed disjoint lane subset — SURVEY section 7(b)
@@ -312,9 +352,17 @@ def decode_corpus_fast(
                     batch.parse_chunk_into(sp8, head, side, valids)
                 if not valids.any():
                     break
+                # spectra-scan caps (tail_cap_lines) — the exact ground
+                # truth, so capped exactness is unconditional. The
+                # count1-based tail_cap_from_side is NOT safe here:
+                # count1 is a pre-reorder boundary and the short-block
+                # permutation can move nonzero lines above it (round-4
+                # review finding). Capping is skipped in drain mode:
+                # each drained segment's width tuple would compile its
+                # own scan variant (up to |buckets|^drain programs).
                 w = (
-                    tail_cap_from_side(side, tail_buckets)
-                    if tail_buckets
+                    tail_cap_lines(sp8, tail_buckets)
+                    if tail_buckets and drain is None
                     else 512
                 )
                 buf_chunks.append(
@@ -380,33 +428,24 @@ def decode_corpus_fast(
             n_chunks = len(buf_chunks)
             if drain is not None and fetch and drain < n_chunks:
                 k = drain
-                parts: list[list[bytes]] = [[] for _ in range(n_streams)]
                 from ..ops.granule import fused_stream_nbytes
 
                 pad_buf = jnp.zeros(
                     (n_streams, fused_stream_nbytes(chunk_t, 512)), jnp.uint8
                 )
-                pending = None
-                for lo in range(0, n_chunks, k):
-                    seg = slice(lo, min(lo + k, n_chunks))
+
+                def run_segment(seg, v_seg):
+                    nonlocal states
                     n_pad = k - (seg.stop - seg.start)
                     bufs_seg = buf_chunks[seg] + [pad_buf] * n_pad
                     w_seg = tuple(widths[seg]) + (512,) * n_pad
-                    v_seg = np.zeros((k, n_streams), np.int32)
-                    v_seg[: seg.stop - seg.start] = valids[seg]
                     pcms_dev, states = scan_for(w_seg)(
                         bufs_seg, states, v_seg
                     )
-                    if pending is not None:
-                        emit(parts, np.asarray(pending[0]), pending[1])
-                    pending = (pcms_dev, v_seg)
-                if pending is not None:
-                    emit(parts, np.asarray(pending[0]), pending[1])
-                total = int(valids.sum())
-                return CorpusResult(
-                    pcm=[b"".join(p) for p in parts],
-                    granules=total,
-                    samples=total * SAMPLES_PER_GR,
+                    return pcms_dev
+
+                return _drained_result(
+                    n_chunks, k, run_segment, valids, emit, n_streams
                 )
 
             pcms, _ = scan_for(tuple(widths))(buf_chunks, states, valids)
@@ -469,16 +508,12 @@ def decode_corpus_fast(
 
     n_chunks = len(sp_chunks)
     if drain is not None and fetch and drain < n_chunks:
-        # segment the corpus through ONE k-chunk compiled scan; fetch each
-        # segment's PCM while the next segment computes (the device works
-        # under the blocking host-side np.asarray of the previous segment)
         k = drain
-        parts: list[list[bytes]] = [[] for _ in range(n_streams)]
         pad_sp = jnp.zeros_like(sp_chunks[0])
         pad_aux = tuple(jnp.zeros_like(a[0]) for a in aux_all)
-        pending = None  # (pcms on device, valids of that segment)
-        for lo in range(0, n_chunks, k):
-            seg = slice(lo, min(lo + k, n_chunks))
+
+        def run_segment(seg, v_seg):
+            nonlocal states
             n_pad = k - (seg.stop - seg.start)
             sp_seg = sp_chunks[seg] + [pad_sp] * n_pad
             aux_seg = tuple(
@@ -487,19 +522,11 @@ def decode_corpus_fast(
                 ) if n_pad else a[seg]
                 for a, p in zip(aux_all, pad_aux)
             )
-            v_seg = np.zeros((k, n_streams), np.int32)
-            v_seg[: seg.stop - seg.start] = valids[seg]
             pcms_dev, states = scan_corpus(sp_seg, aux_seg, states, v_seg)
-            if pending is not None:
-                emit(parts, np.asarray(pending[0]), pending[1])
-            pending = (pcms_dev, v_seg)
-        if pending is not None:
-            emit(parts, np.asarray(pending[0]), pending[1])
-        total = int(valids.sum())
-        return CorpusResult(
-            pcm=[b"".join(p) for p in parts],
-            granules=total,
-            samples=total * SAMPLES_PER_GR,
+            return pcms_dev
+
+        return _drained_result(
+            n_chunks, k, run_segment, valids, emit, n_streams
         )
 
     pcms, _ = scan_corpus(sp_chunks, aux_all, states, valids)
