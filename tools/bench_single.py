@@ -21,6 +21,14 @@ import time
 
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
+# Force the CPU backend for the device rows: this measures the DECODER,
+# and a relayed remote TPU would measure per-chunk dispatch latency
+# instead (the env pins JAX_PLATFORMS=axon via sitecustomize, which
+# ignores the env var — config.update is the override that works).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 FIXTURE = "/root/reference/example/classic_lame.mp3"
 
 
