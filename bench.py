@@ -102,7 +102,14 @@ def main() -> None:
     classic = open("/root/reference/example/classic_lame.mp3", "rb").read() * 4
     mpeg2 = open("/root/reference/example/mpeg2.mp3", "rb").read()
 
-    n_classic, n_mpeg2 = 48, 16
+    # Corpus width is env-tunable. S=128 (96+32) was measured: per-granule
+    # device compute IMPROVES ~9% (16.9 ms/chunk for 2x the granules vs
+    # 9.3 — the chip is not saturated at S=64), but the ceiling only gains
+    # ~1% (parse-dominated) while end-to-end pays 2x the wire through the
+    # relay (206x vs 628x same-day). S=64 stays the default for this
+    # environment; a local-chip fleet should run wider.
+    n_classic = int(os.environ.get("GOMP3_N_CLASSIC", "48"))
+    n_mpeg2 = int(os.environ.get("GOMP3_N_MPEG2", "16"))
     n_streams = n_classic + n_mpeg2
     # 240 granules/chunk: same 13 chunks as 256 on this corpus but only 3%
     # padding slots instead of 9.9% (classic lanes are 3080 granules,
