@@ -1804,6 +1804,85 @@ int gmp_parse_packed8_many(void** pv, int n_streams, int cap, int8_t* tail8,
   return mx;
 }
 
+// Pack the fused transfer buffer's TAIL region: [S, T, 1024] granule-major
+// parser output -> [S, 2, l, T] channel-major line-major (the relay-
+// compression-friendly wire layout), shipping only the first `l` tail
+// lines per channel. This is a [T, 512] -> [l, T] byte transpose per
+// (stream, channel); numpy's strided-assignment version runs ~1.5 GB/s
+// (dest-order iteration misses cache on every source element), the
+// 16x16-blocked kernel here runs several times faster. Head/side regions
+// are plain row copies and stay in numpy.
+static void transpose_block16(const int8_t* src, size_t sstride, int8_t* dst,
+                              size_t dstride, int rows, int cols) {
+  // generic tile (<=16x16): src[r, c] -> dst[c, r]
+  for (int r = 0; r < rows; r++)
+    for (int c = 0; c < cols; c++)
+      dst[size_t(c) * dstride + r] = src[size_t(r) * sstride + c];
+}
+
+#ifdef GOMP3_SSE2
+// full 16x16 byte transpose: 4 rounds of unpacklo/hi at doubling element
+// widths, pairing stride = element width within blocks of twice that,
+// outputs written as (lo, hi) in pair order — this network leaves the
+// transposed rows in IDENTITY order (derived by simulation; validated
+// byte-for-byte against the scalar tile by the build_fused_chunk
+// equality tests)
+static inline void transpose16x16_sse(const int8_t* src, size_t sstride,
+                                      int8_t* dst, size_t dstride) {
+  __m128i a[16], b[16];
+  for (int i = 0; i < 16; i++)
+    a[i] = _mm_loadu_si128((const __m128i*)(src + i * sstride));
+#define GOMP3_T16_STAGE(dstv, srcv, unlo, unhi, stride)              \
+  {                                                                  \
+    int k = 0;                                                       \
+    for (int base = 0; base < 16; base += 2 * (stride))              \
+      for (int i = 0; i < (stride); i++, k++) {                      \
+        dstv[2 * k] = unlo(srcv[base + i], srcv[base + i + (stride)]); \
+        dstv[2 * k + 1] =                                            \
+            unhi(srcv[base + i], srcv[base + i + (stride)]);         \
+      }                                                              \
+  }
+  GOMP3_T16_STAGE(b, a, _mm_unpacklo_epi8, _mm_unpackhi_epi8, 1)
+  GOMP3_T16_STAGE(a, b, _mm_unpacklo_epi16, _mm_unpackhi_epi16, 2)
+  GOMP3_T16_STAGE(b, a, _mm_unpacklo_epi32, _mm_unpackhi_epi32, 4)
+  GOMP3_T16_STAGE(a, b, _mm_unpacklo_epi64, _mm_unpackhi_epi64, 8)
+#undef GOMP3_T16_STAGE
+  for (int j = 0; j < 16; j++)
+    _mm_storeu_si128((__m128i*)(dst + size_t(j) * dstride), a[j]);
+}
+#endif
+
+void gmp_pack_fused_tail(const int8_t* sp, int8_t* dst, int n_streams, int t,
+                         int l, int64_t dst_stream_stride) {
+  // dst points at stream 0's tail region inside the fused buffer; rows of
+  // that buffer are dst_stream_stride bytes apart (the tail region is a
+  // strided view of [S, stream_bytes], not a dense [S,2,l,T] array)
+  constexpr int B = 16;
+  for (int s = 0; s < n_streams; s++) {
+    for (int ch = 0; ch < 2; ch++) {
+      const int8_t* src = sp + (size_t(s) * t) * 1024 + ch * 512;
+      int8_t* d = dst + size_t(s) * dst_stream_stride +
+                  size_t(ch) * l * t;
+      // src matrix: [t rows, l cols] with row stride 1024; dst: [l, t]
+      for (int c0 = 0; c0 < l; c0 += B) {
+        int cb = l - c0 < B ? l - c0 : B;
+        for (int r0 = 0; r0 < t; r0 += B) {
+          int rb = t - r0 < B ? t - r0 : B;
+#ifdef GOMP3_SSE2
+          if (rb == B && cb == B) {
+            transpose16x16_sse(src + size_t(r0) * 1024 + c0, 1024,
+                               d + size_t(c0) * t + r0, t);
+            continue;
+          }
+#endif
+          transpose_block16(src + size_t(r0) * 1024 + c0, 1024,
+                            d + size_t(c0) * t + r0, t, rb, cb);
+        }
+      }
+    }
+  }
+}
+
 // Whole-file header-only index scan (mirrors decoder.py
 // _ensure_frame_starts_and_length). Fills starts[cap]; returns frame count
 // (may exceed cap — call again with a bigger buffer), and outputs

@@ -65,16 +65,23 @@ def build_fused_chunk(
     from ..consts import HEAD_WIDTH, SIDE8_WIDTH
     from ..ops.granule import fused_stream_nbytes
 
+    from ..native.lib import pack_fused_tail
+
     s, t = spectra.shape[:2]
     a = 2 * tail_lines * t
     b = a + t * 2 * HEAD_WIDTH
     buf = out
     if buf is None:
         buf = np.empty((s, fused_stream_nbytes(t, tail_lines)), np.uint8)
-    # [S,T,1024] -> [S,T,2,512] -> [S,2,lines,T] prefix slice, strided copy
-    buf[:, :a].reshape(s, 2, tail_lines, t)[:] = spectra.reshape(
-        s, t, 2, 512
-    ).transpose(0, 2, 3, 1)[:, :, :tail_lines].view(np.uint8)
+    # [S,T,1024] -> [S,T,2,512] -> [S,2,lines,T] prefix slice. The native
+    # 16x16-blocked transpose is ~5x numpy's strided assignment here
+    # (dest-order iteration cache-misses every source element); the numpy
+    # path remains as the no-native fallback and the equality oracle
+    # (tests pin both byte-identical).
+    if not pack_fused_tail(spectra, buf, tail_lines):
+        buf[:, :a].reshape(s, 2, tail_lines, t)[:] = spectra.reshape(
+            s, t, 2, 512
+        ).transpose(0, 2, 3, 1)[:, :, :tail_lines].view(np.uint8)
     buf[:, a:b].reshape(s, t, HEAD_WIDTH, 2)[:] = head.view(np.uint8).reshape(
         s, t, HEAD_WIDTH, 2
     )
