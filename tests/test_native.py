@@ -469,3 +469,26 @@ def test_batch_parser_hard_error_names_stream(fixture_classic_lame):
             if bp.parse_chunk_into(sp, he, sd, valids) == 0:
                 break
     bp.close()
+
+
+def test_pack_fused_tail_matches_numpy():
+    """The SSE 16x16-blocked fused-tail transpose is byte-identical to
+    the numpy fallback across full/capped widths and non-multiple-of-16
+    shapes (the generic edge tiles)."""
+    import numpy as np
+
+    from go_mp3_tpu.native.lib import pack_fused_tail
+    from go_mp3_tpu.ops.granule import fused_stream_nbytes
+
+    rng = np.random.default_rng(3)
+    for s, t, l in [(4, 64, 512), (4, 64, 464), (3, 50, 464), (2, 17, 33),
+                    (1, 16, 16), (5, 31, 100)]:
+        spectra = rng.integers(-128, 128, size=(s, t, 1024)).astype(np.int8)
+        a = 2 * l * t
+        bn = np.zeros((s, fused_stream_nbytes(t, l)), np.uint8)
+        bp = np.zeros_like(bn)
+        assert pack_fused_tail(spectra, bn, l)
+        bp[:, :a].reshape(s, 2, l, t)[:] = spectra.reshape(
+            s, t, 2, 512
+        ).transpose(0, 2, 3, 1)[:, :, :l].view(np.uint8)
+        assert np.array_equal(bn[:, :a], bp[:, :a]), (s, t, l)
