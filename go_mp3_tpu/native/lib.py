@@ -538,10 +538,24 @@ def pack_fused_tail(
     lib = _load()
     if lib is None:
         return False
+    # real checks, not asserts: the C kernel hard-codes the [.., 1024]
+    # granule-row strides and the 512-line channel split, so any layout
+    # deviation must fall back to the numpy path (which raises loudly on
+    # shape mismatches) instead of reaching C with wrong strides
+    if not (
+        spectra.ndim == 3
+        and spectra.shape[2] == SP8_TAIL_WIDTH
+        and spectra.dtype == np.int8
+        and spectra.flags.c_contiguous
+        and 0 < l <= SP8_TAIL_WIDTH // 2
+        and buf.dtype == np.uint8
+        and buf.ndim == 2
+        and buf.shape[0] == spectra.shape[0]
+        and buf.strides[1] == 1
+        and buf.shape[1] >= 2 * l * spectra.shape[1]
+    ):
+        return False
     s, t = spectra.shape[0], spectra.shape[1]
-    assert spectra.dtype == np.int8 and spectra.flags.c_contiguous
-    assert buf.dtype == np.uint8 and buf.ndim == 2 and buf.shape[0] == s
-    assert buf.strides[1] == 1 and buf.shape[1] >= 2 * l * t
     lib.gmp_pack_fused_tail(
         spectra.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),

@@ -1856,7 +1856,11 @@ void gmp_pack_fused_tail(const int8_t* sp, int8_t* dst, int n_streams, int t,
                          int l, int64_t dst_stream_stride) {
   // dst points at stream 0's tail region inside the fused buffer; rows of
   // that buffer are dst_stream_stride bytes apart (the tail region is a
-  // strided view of [S, stream_bytes], not a dense [S,2,l,T] array)
+  // strided view of [S, stream_bytes], not a dense [S,2,l,T] array).
+  // Defensive bound: the source layout is [.., 2, 512] per granule row —
+  // l > 512 would read across granule/channel boundaries (the Python
+  // wrapper validates too; this keeps the C ABI safe on its own).
+  if (l <= 0 || l > 512 || t <= 0) return;
   constexpr int B = 16;
   for (int s = 0; s < n_streams; s++) {
     for (int ch = 0; ch < 2; ch++) {

@@ -102,7 +102,7 @@ def tail_cap_lines(spectra: np.ndarray, buckets=(448, 512)) -> int:
     idx = np.nonzero(nz)[0]
     need = int(idx.max()) + 1 if idx.size else 0
     for w in buckets:
-        if need <= w:
+        if need <= w <= 512:  # buckets past the 512-line tail are invalid
             return w
     return 512
 
@@ -130,7 +130,7 @@ def tail_cap_from_side(side: np.ndarray, buckets=(448, 512)) -> int:
     )  # [S, T, 2] count1 per channel (meta words 20/21)
     need = int(c1.max()) - HEAD_LINES
     for w in buckets:
-        if need <= w:
+        if need <= w <= 512:  # buckets past the 512-line tail are invalid
             return w
     return 512
 

@@ -491,4 +491,14 @@ def test_pack_fused_tail_matches_numpy():
         bp[:, :a].reshape(s, 2, l, t)[:] = spectra.reshape(
             s, t, 2, 512
         ).transpose(0, 2, 3, 1)[:, :, :l].view(np.uint8)
-        assert np.array_equal(bn[:, :a], bp[:, :a]), (s, t, l)
+        # compare the WHOLE zero-initialized buffers, not just the tail
+        # region: a stray native store past 2*l*t bytes per row would be
+        # masked in production (head/side overwrite it) — only this test
+        # can see an overrun
+        assert np.array_equal(bn, bp), (s, t, l)
+    # contract violations fall back (return False), never reach C with
+    # wrong strides
+    bad = rng.integers(-128, 128, size=(2, 16, 1000)).astype(np.int8)
+    assert not pack_fused_tail(bad, np.zeros((2, 99999), np.uint8), 464)
+    good = rng.integers(-128, 128, size=(2, 16, 1024)).astype(np.int8)
+    assert not pack_fused_tail(good, np.zeros((2, 99999), np.uint8), 600)
