@@ -1,5 +1,5 @@
-"""Compute-path ops: DSP tables, the batched JAX granule chain, the fused
-Pallas synthesis kernel, and the numpy float64 golden oracle."""
+"""Compute-path ops: DSP tables, the batched JAX granule chain (with the
+packed and fused device interfaces), and the numpy float64 golden oracle."""
 
 from .granule import (
     DecodeState,
