@@ -4,9 +4,12 @@
 Pipeline (round 4): the native C++ parser fills three flat pool arrays per
 chunk (int8 tail spectra [S,T,1024] + exact int16 head plane [S,T,128] +
 byte sidecar [S,T,168] — gmp_parse_packed8), which the host packs into ONE
-fused uint8 buffer per chunk ([S, stream_bytes]; channel-major line-major
-tail, optionally capped at the chunk's bucketed max nonzero tail line as
-measured from the parsed spectra). One transfer dispatch per chunk instead of three
+fused uint8 buffer per lane group per chunk ([S, stream_bytes];
+channel-major line-major tail, optionally capped at the chunk's bucketed
+max nonzero tail line as measured from the parsed spectra; mono lanes — the
+mpeg2 group — ship a HALF-WIDTH layout carrying only the channel-0 planes,
+ch1 reconstructed as zeros on device). Two transfer dispatches per chunk
+instead of three (one when the corpus is single-group)
 — the transfer client runs on this single shared host core, so per-transfer
 bookkeeping is real cost. The whole corpus then decodes in ONE jitted
 lax.scan over chunks (state carried on-device), amortizing per-execute
@@ -95,8 +98,15 @@ def main() -> None:
     from go_mp3_tpu.ops.granule import (
         decode_chunk_fused_batch_impl,
         fused_stream_nbytes,
+        fused_stream_nbytes_mono,
+        unpack_fused,
+        unpack_fused_mono,
     )
-    from go_mp3_tpu.parallel.corpus import build_fused_chunk, tail_cap_lines
+    from go_mp3_tpu.parallel.corpus import (
+        build_fused_chunk,
+        build_fused_chunk_mono,
+        tail_cap_lines,
+    )
     from go_mp3_tpu.parallel.mesh import init_states
 
     classic = open("/root/reference/example/classic_lame.mp3", "rb").read() * 4
@@ -123,6 +133,12 @@ def main() -> None:
         for b in os.environ.get("GOMP3_TAIL_BUCKETS", "464,512").split(",")
         if b
     ) or None
+    # mono lanes (the mpeg2 group, contiguous at the tail of the corpus)
+    # ship the half-width wire layout: channel-0 planes only, ch1
+    # reconstructed as zeros on device (decode_corpus_fast mono_split
+    # semantics; exactness is structural and pinned by tests)
+    mono_split = os.environ.get("GOMP3_MONO_SPLIT", "1") == "1"
+    n_stereo = n_classic if mono_split and n_mpeg2 else n_streams
 
     starts_c, _, _ = index_stream(classic)
     starts_m, _, _ = index_stream(mpeg2)
@@ -204,18 +220,68 @@ def main() -> None:
     # count1 is a pre-reorder boundary and the short-block permutation
     # can move nonzero lines above it, see tail_cap_from_side's docs)
     if buckets:
-        widths = [tail_cap_lines(sp, buckets) for sp, _, _ in pool]
+        widths = [
+            (
+                tail_cap_lines(sp[:n_stereo], buckets),
+                tail_cap_lines(sp[n_stereo:], buckets),
+            )
+            if n_stereo < n_streams
+            else (tail_cap_lines(sp, buckets),)
+            for sp, _, _ in pool
+        ]
     else:
-        widths = [512] * n_chunks
-    wire_bpg_eff = sum(
-        fused_stream_nbytes(chunk_t, w) for w in widths
-    ) / (n_chunks * chunk_t)
+        widths = [
+            (512, 512) if n_stereo < n_streams else (512,)
+            for _ in range(n_chunks)
+        ]
+    wire_bytes = sum(
+        n_stereo * fused_stream_nbytes(chunk_t, w[0])
+        + (
+            (n_streams - n_stereo)
+            * fused_stream_nbytes_mono(chunk_t, w[-1])
+            if n_stereo < n_streams
+            else 0
+        )
+        for w in widths
+    )
+    wire_bpg_eff = wire_bytes / (n_chunks * n_streams * chunk_t)
     log(f"tail caps per chunk: {widths} (eff wire {wire_bpg_eff:.0f} B/gr)")
 
-    fused_pool = [
-        np.empty((n_streams, fused_stream_nbytes(chunk_t, w)), np.uint8)
-        for w in widths
-    ]
+    def alloc_fused(w):
+        bufs = [
+            np.empty(
+                (n_stereo, fused_stream_nbytes(chunk_t, w[0])), np.uint8
+            )
+        ] if n_stereo else []
+        if n_stereo < n_streams:
+            bufs.append(
+                np.empty(
+                    (
+                        n_streams - n_stereo,
+                        fused_stream_nbytes_mono(chunk_t, w[-1]),
+                    ),
+                    np.uint8,
+                )
+            )
+        return tuple(bufs)
+
+    fused_pool = [alloc_fused(w) for w in widths]
+
+    def pack_chunk(c, spectra, head, side):
+        """Pool chunk -> fused transfer buffer tuple (stereo [+ mono])."""
+        out = fused_pool[c]
+        w = widths[c]
+        if n_stereo:
+            build_fused_chunk(
+                spectra[:n_stereo], head[:n_stereo], side[:n_stereo],
+                w[0], out=out[0],
+            )
+        if n_stereo < n_streams:
+            build_fused_chunk_mono(
+                spectra[n_stereo:], head[n_stereo:], side[n_stereo:],
+                w[-1], out=out[-1],
+            )
+        return out
 
     # ---- untimed: AOT-compile + load the corpus program --------------------
     import functools
@@ -227,18 +293,28 @@ def main() -> None:
 
     @jax.jit
     def decode_corpus(bufs, states, valids):
-        # bufs: per-chunk fused [S, stream_bytes] u8 (widths[c] tail lines).
+        # bufs: per-chunk TUPLES of fused u8 buffers (stereo group
+        # [+ half-width mono group]), widths[c] tail lines per group.
         # Returns per-stream energies — tiny [C, S] scalars out; the full
         # PCM cannot be skipped by XLA (energies and the carried DSP state
         # depend on it); PCM correctness is pinned by the validation probe
         # and the test suite's parity gates.
-        from go_mp3_tpu.ops.granule import (
-            decode_chunk_packed8_impl,
-            unpack_fused,
-        )
+        from go_mp3_tpu.ops.granule import decode_chunk_packed8_impl
+
+        def unpack_chunk(chunk_bufs, w):
+            parts = []
+            if n_stereo:
+                parts.append(unpack_fused(chunk_bufs[0], chunk_t, w[0]))
+            if n_stereo < n_streams:
+                parts.append(
+                    unpack_fused_mono(chunk_bufs[-1], chunk_t, w[-1])
+                )
+            return tuple(
+                jnp.concatenate([p[i] for p in parts]) for i in range(3)
+            )
 
         tails = [
-            unpack_fused(buf, chunk_t, w) for buf, w in zip(bufs, widths)
+            unpack_chunk(b, w) for b, w in zip(bufs, widths)
         ]
         ta_all = jnp.stack([x[0] for x in tails])
         he_all = jnp.stack([x[1] for x in tails])
@@ -260,7 +336,7 @@ def main() -> None:
     t0 = time.perf_counter()
     sds = lambda shape, dt: jax.ShapeDtypeStruct(shape, dt)
     shapes = (
-        [sds(fp.shape, np.uint8) for fp in fused_pool],
+        [tuple(sds(b.shape, np.uint8) for b in fp) for fp in fused_pool],
         jax.tree_util.tree_map(lambda x: sds(x.shape, x.dtype), states0),
         sds(valids0.shape, np.int32),
     )
@@ -279,15 +355,13 @@ def main() -> None:
         t0 = time.perf_counter()
         for c, (spectra, head, side) in enumerate(pool):
             bp.parse_chunk_into(spectra, head, side, valids[c])
-            fb = build_fused_chunk(
-                spectra, head, side, widths[c], out=fused_pool[c]
-            )
+            fb = pack_chunk(c, spectra, head, side)
             if overlap:
-                # async enqueue: the transfer rides under the remaining
+                # async enqueue: the transfers ride under the remaining
                 # chunks' parse (the client busy-polls on this 1-core
                 # host, so this can also SLOW the parse — measured, not
                 # assumed; see detail runs_wall_s per schedule)
-                bufs.append(jax.device_put(fb))
+                bufs.append(tuple(jax.device_put(b) for b in fb))
             else:
                 host_bufs.append(fb)
         parse_wall = time.perf_counter() - t0
@@ -297,7 +371,9 @@ def main() -> None:
             int(valids.sum()), total_granules
         )
         if not overlap:
-            bufs = [jax.device_put(b) for b in host_bufs]
+            bufs = [
+                tuple(jax.device_put(b) for b in fb) for fb in host_bufs
+            ]
         energies, _ = compiled(bufs, states, valids)
         en = np.asarray(energies)  # the fence: pipeline provably done
         total_wall = time.perf_counter() - t_start
@@ -336,20 +412,22 @@ def main() -> None:
     # excluded from the transfer-free ceiling — see module docstring)
     t0 = time.process_time()
     for c, (spectra, head, side) in enumerate(pool):
-        build_fused_chunk(spectra, head, side, widths[c], out=fused_pool[c])
+        pack_chunk(c, spectra, head, side)
     probe_pack = (time.process_time() - t0) / n_chunks
 
     # upload probe: one fused chunk through the relay, fetch-fenced
     t0 = time.perf_counter()
-    dbuf = jax.device_put(fused_pool[1])
+    dbuf = tuple(jax.device_put(b) for b in fused_pool[1])
     jax.block_until_ready(dbuf)
-    np.asarray(dbuf[0, :4])
+    np.asarray(dbuf[0][0, :4])
     probe_upload = time.perf_counter() - t0
 
     # scan-amortized device compute: re-run the loaded corpus program on
     # resident data and fetch the energies — the per-chunk cost production
     # pays (dispatch amortized over the whole corpus)
-    bufs_res = [jax.device_put(fb) for fb in fused_pool]
+    bufs_res = [
+        tuple(jax.device_put(b) for b in fb) for fb in fused_pool
+    ]
     jax.block_until_ready(bufs_res)
     valids_full = np.full((n_chunks, n_streams), chunk_t, np.int32)
     probe_scan = float("inf")
@@ -381,15 +459,18 @@ def main() -> None:
     )
 
     # validation probe: decode one chunk, check PCM past the Xing frame
+    n_probe = n_stereo if n_stereo else n_streams
     one_step = jax.jit(
         functools.partial(
-            decode_chunk_fused_batch_impl, t=chunk_t, tail_lines=widths[0]
+            decode_chunk_fused_batch_impl,
+            t=chunk_t,
+            tail_lines=widths[0][0],
         )
     )
     pcm, _ = one_step(
-        jax.device_put(fused_pool[0]),
-        init_states(n_streams),
-        np.full(n_streams, chunk_t, np.int32),
+        jax.device_put(fused_pool[0][0]),
+        init_states(n_probe),
+        np.full(n_probe, chunk_t, np.int32),
     )
     probe = np.asarray(pcm[0, 20 * SAMPLES_PER_GR : 60 * SAMPLES_PER_GR])
     assert np.abs(probe).max() > 100, "decoded PCM should not be silence"
@@ -432,9 +513,10 @@ def main() -> None:
             "probe_scan_total_s": round(probe_scan, 3),
             "chunk_audio_seconds": round(chunk_audio, 1),
             "wire_bytes_per_granule_effective": round(wire_bpg_eff, 1),
-            "tail_cap_lines_per_chunk": widths,
+            "tail_cap_lines_per_chunk": [list(w) for w in widths],
+            "mono_split_lanes": n_streams - n_stereo,
             "tail_buckets": list(buckets) if buckets else None,
-            "transfers_per_corpus": n_chunks,
+            "transfers_per_corpus": n_chunks * len(fused_pool[0]),
             "schedule": best_mode,
             "runs_wall_s": {
                 m: [round(w, 3) for w, _ in rs] for m, rs in runs.items()

@@ -106,14 +106,15 @@ def _load():
     ]
     lib.gmp_packed8_overflow.restype = ctypes.c_int
     lib.gmp_packed8_overflow.argtypes = [ctypes.c_void_p]
-    lib.gmp_pack_fused_tail.restype = None
-    lib.gmp_pack_fused_tail.argtypes = [
+    lib.gmp_pack_fused_tail_nch.restype = None
+    lib.gmp_pack_fused_tail_nch.argtypes = [
         ctypes.POINTER(ctypes.c_int8),
         ctypes.POINTER(ctypes.c_int8),
         ctypes.c_int,
         ctypes.c_int,
         ctypes.c_int,
         ctypes.c_int64,
+        ctypes.c_int,
     ]
     lib.gmp_parse_packed8_many.restype = ctypes.c_int
     lib.gmp_parse_packed8_many.argtypes = [
@@ -528,13 +529,15 @@ class NativeDsp:
 
 
 def pack_fused_tail(
-    spectra: np.ndarray, buf: np.ndarray, l: int
+    spectra: np.ndarray, buf: np.ndarray, l: int, nch: int = 2
 ) -> bool:
-    """Native [S,T,1024] -> [S,2,l,T] tail transpose for build_fused_chunk
-    (16x16 cache-blocked; numpy's strided assignment runs ~1.5 GB/s on
-    this layout). `buf` is the whole fused [S, stream_bytes] uint8 buffer;
-    the tail region is its per-row prefix (2*l*T bytes). Returns False
-    when the library is unavailable so the caller falls back to numpy."""
+    """Native [S,T,1024] -> [S,nch,l,T] tail transpose for
+    build_fused_chunk (16x16 cache-blocked; numpy's strided assignment
+    runs ~1.5 GB/s on this layout). `buf` is the whole fused
+    [S, stream_bytes] uint8 buffer; the tail region is its per-row prefix
+    (nch*l*T bytes). nch=1 packs only channel 0 (mono-lane wire layout).
+    Returns False when the library is unavailable so the caller falls
+    back to numpy."""
     lib = _load()
     if lib is None:
         return False
@@ -548,21 +551,23 @@ def pack_fused_tail(
         and spectra.dtype == np.int8
         and spectra.flags.c_contiguous
         and 0 < l <= SP8_TAIL_WIDTH // 2
+        and nch in (1, 2)
         and buf.dtype == np.uint8
         and buf.ndim == 2
         and buf.shape[0] == spectra.shape[0]
         and buf.strides[1] == 1
-        and buf.shape[1] >= 2 * l * spectra.shape[1]
+        and buf.shape[1] >= nch * l * spectra.shape[1]
     ):
         return False
     s, t = spectra.shape[0], spectra.shape[1]
-    lib.gmp_pack_fused_tail(
+    lib.gmp_pack_fused_tail_nch(
         spectra.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         buf.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
         s,
         t,
         l,
         buf.strides[0],
+        nch,
     )
     return True
 

@@ -1852,18 +1852,22 @@ static inline void transpose16x16_sse(const int8_t* src, size_t sstride,
 }
 #endif
 
-void gmp_pack_fused_tail(const int8_t* sp, int8_t* dst, int n_streams, int t,
-                         int l, int64_t dst_stream_stride) {
+void gmp_pack_fused_tail_nch(const int8_t* sp, int8_t* dst, int n_streams,
+                             int t, int l, int64_t dst_stream_stride,
+                             int nch) {
   // dst points at stream 0's tail region inside the fused buffer; rows of
   // that buffer are dst_stream_stride bytes apart (the tail region is a
-  // strided view of [S, stream_bytes], not a dense [S,2,l,T] array).
-  // Defensive bound: the source layout is [.., 2, 512] per granule row —
-  // l > 512 would read across granule/channel boundaries (the Python
-  // wrapper validates too; this keeps the C ABI safe on its own).
-  if (l <= 0 || l > 512 || t <= 0) return;
+  // strided view of [S, stream_bytes], not a dense [S,nch,l,T] array).
+  // nch=1 packs only channel 0 (the mono-lane half-width wire layout;
+  // ch1 of a mono granule is all-zero by the parser's contract and is
+  // reconstructed as zeros on device). Defensive bound: the source
+  // layout is [.., 2, 512] per granule row — l > 512 would read across
+  // granule/channel boundaries (the Python wrapper validates too; this
+  // keeps the C ABI safe on its own).
+  if (l <= 0 || l > 512 || t <= 0 || nch < 1 || nch > 2) return;
   constexpr int B = 16;
   for (int s = 0; s < n_streams; s++) {
-    for (int ch = 0; ch < 2; ch++) {
+    for (int ch = 0; ch < nch; ch++) {
       const int8_t* src = sp + (size_t(s) * t) * 1024 + ch * 512;
       int8_t* d = dst + size_t(s) * dst_stream_stride +
                   size_t(ch) * l * t;
@@ -1885,6 +1889,11 @@ void gmp_pack_fused_tail(const int8_t* sp, int8_t* dst, int n_streams, int t,
       }
     }
   }
+}
+
+void gmp_pack_fused_tail(const int8_t* sp, int8_t* dst, int n_streams, int t,
+                         int l, int64_t dst_stream_stride) {
+  gmp_pack_fused_tail_nch(sp, dst, n_streams, t, l, dst_stream_stride, 2);
 }
 
 // Whole-file header-only index scan (mirrors decoder.py

@@ -679,6 +679,46 @@ def unpack_fused(buf: jax.Array, t: int, tail_lines: int):
     return tail, head, side
 
 
+def fused_stream_nbytes_mono(t: int, tail_lines: int = _TAIL_LINES_FULL) -> int:
+    """Bytes per stream row of a MONO-lane fused chunk buffer: only the
+    channel-0 planes ship (ch1 of every mono granule is all-zero by the
+    parser's contract and is reconstructed as zeros on device) — roughly
+    half the stereo row."""
+    from ..consts import SIDE8_WIDTH
+
+    return tail_lines * t + t * 2 * HEAD_LINES + t * SIDE8_WIDTH
+
+
+def unpack_fused_mono(buf: jax.Array, t: int, tail_lines: int):
+    """Mono-lane fused u8 buffer [S, mono_stream_bytes] -> the SAME
+    (tail8 [S,T,1024] i8, head16 [S,T,128] i16, side8 [S,T,168] u8)
+    shapes as unpack_fused, with the ch1 planes reconstructed as zeros.
+    Exact by construction: the parser emits all-zero ch1 for mono
+    granules, so these are the identical decoder inputs."""
+    from ..consts import SIDE8_WIDTH
+
+    s = buf.shape[0]
+    a = tail_lines * t
+    b = a + t * 2 * HEAD_LINES
+    tail0 = jax.lax.bitcast_convert_type(
+        buf[:, :a].reshape(s, 1, tail_lines, t), jnp.int8
+    )
+    if tail_lines < _TAIL_LINES_FULL:
+        tail0 = jnp.pad(
+            tail0, ((0, 0), (0, 0), (0, _TAIL_LINES_FULL - tail_lines), (0, 0))
+        )
+    tail = jnp.concatenate([tail0, jnp.zeros_like(tail0)], axis=1)
+    tail = tail.transpose(0, 3, 1, 2).reshape(s, t, 2 * _TAIL_LINES_FULL)
+    hb = buf[:, a:b].reshape(s, t, HEAD_LINES, 2).astype(jnp.int32)
+    v = hb[..., 0] | (hb[..., 1] << 8)
+    head0 = (v - 2 * (v & 32768)).astype(jnp.int16)  # [S, T, 64]
+    head = jnp.concatenate(
+        [head0[:, :, None, :], jnp.zeros_like(head0)[:, :, None, :]], axis=2
+    ).reshape(s, t, 2 * HEAD_LINES)
+    side = buf[:, b:].reshape(s, t, SIDE8_WIDTH)
+    return tail, head, side
+
+
 def decode_chunk_fused_batch_impl(
     buf: jax.Array, states, valids: jax.Array, *, t: int, tail_lines: int
 ):

@@ -41,6 +41,12 @@ def parse_stream_granules(data: bytes, limit: int | None = None) -> list[Granule
     return out
 
 
+class _MonoSplitMismatch(Exception):
+    """A lane classified mono (first frame) produced a stereo granule
+    mid-stream — the half-width mono wire layout cannot carry it, so the
+    corpus re-runs with the universal stereo layout."""
+
+
 @dataclass
 class CorpusResult:
     pcm: list[bytes]  # per-stream s16le stereo PCM
@@ -87,6 +93,51 @@ def build_fused_chunk(
     )
     buf[:, b:].reshape(s, t, SIDE8_WIDTH)[:] = side
     return buf
+
+
+def build_fused_chunk_mono(
+    spectra: np.ndarray,
+    head: np.ndarray,
+    side: np.ndarray,
+    tail_lines: int = 512,
+    out: np.ndarray | None = None,
+) -> np.ndarray:
+    """build_fused_chunk for MONO lanes: only the channel-0 planes ship
+    ([S, mono_stream_bytes], ops.granule.unpack_fused_mono layout — ch1 is
+    all-zero by the parser's mono contract and is reconstructed on
+    device). The caller must have verified every granule of the chunk has
+    the mono meta bit set (decode_corpus_fast does, falling back to the
+    unsplit layout otherwise)."""
+    from ..consts import HEAD_LINES, SIDE8_WIDTH
+    from ..native.lib import pack_fused_tail
+    from ..ops.granule import fused_stream_nbytes_mono
+
+    s, t = spectra.shape[:2]
+    a = tail_lines * t
+    b = a + t * 2 * HEAD_LINES
+    buf = out
+    if buf is None:
+        buf = np.empty((s, fused_stream_nbytes_mono(t, tail_lines)), np.uint8)
+    if not pack_fused_tail(spectra, buf, tail_lines, nch=1):
+        buf[:, :a].reshape(s, tail_lines, t)[:] = spectra.reshape(
+            s, t, 2, 512
+        )[:, :, 0].transpose(0, 2, 1)[:, :tail_lines].view(np.uint8)
+    buf[:, a:b].reshape(s, t, HEAD_LINES, 2)[:] = head.view(
+        np.uint8
+    ).reshape(s, t, 2 * HEAD_LINES, 2)[:, :, :HEAD_LINES]
+    buf[:, b:].reshape(s, t, SIDE8_WIDTH)[:] = side
+    return buf
+
+
+def chunk_all_mono(side: np.ndarray, valids: np.ndarray) -> bool:
+    """True iff every VALID granule of the chunk has the mono meta bit
+    set (sidecar meta word 1 bit 2; padding rows are zeroed and excluded
+    via the per-lane valid counts)."""
+    for s in range(side.shape[0]):
+        v = int(valids[s])
+        if v and not (side[s, :v, 2] & 4).all():
+            return False
+    return True
 
 
 def tail_cap_lines(spectra: np.ndarray, buckets=(448, 512)) -> int:
@@ -172,6 +223,7 @@ def decode_corpus_fast(
     fused: bool = True,
     tail_buckets: tuple[int, ...] | None = None,
     n_threads: int = 1,
+    mono_split: bool = True,
 ):
     """High-throughput corpus decode: the production pipeline.
 
@@ -227,6 +279,16 @@ def decode_corpus_fast(
     exactly one worker, so output is byte-identical to serial (tested with
     k=2). Scaling needs cores: this repo's 1-core dev host demonstrates
     correctness, not speedup. Fused path only.
+
+    mono_split=True (default) ships lanes whose FIRST frame is mono with
+    a half-width wire layout (only the channel-0 planes; ch1 of a mono
+    granule is all-zero by the parser's contract and is reconstructed on
+    device — exactness is structural). Lanes are grouped internally
+    (stereo first) and the PCM list is mapped back to the caller's order.
+    Every chunk is verified against the sidecar mono bits; a stereo
+    granule appearing mid-stream in a "mono" lane re-runs the corpus with
+    the universal layout. Active only on the fused path with fetch=True
+    and no mesh.
     """
     import jax
     import jax.numpy as jnp
@@ -311,10 +373,30 @@ def decode_corpus_fast(
                         host[c, s, : v * SAMPLES_PER_GR].tobytes()
                     )
 
-    def parse_all_fused():
+    def _mono_first_frame(data: bytes) -> bool:
+        import io as _io
+
+        from ..bitstream import Source, read_header
+        from ..bitstream.frameheader import Mode
+
+        try:
+            src = Source(_io.BytesIO(data))
+            src.skip_tags()
+            h, _ = read_header(src, src.pos)
+            return h.mode == Mode.SINGLE_CHANNEL
+        except Exception:
+            return False  # unclassifiable -> stereo layout (safe superset)
+
+    def parse_all_fused(streams, n_stereo):
+        """Parse `streams` (internal lane order) into fused chunk buffers.
+        n_stereo = None -> one full-width group; otherwise lanes
+        [0, n_stereo) ship the stereo layout and [n_stereo, S) the
+        half-width mono layout (verified per chunk against the sidecar
+        mono bits; a stereo granule in the mono group raises
+        _MonoSplitMismatch and the caller re-runs unsplit)."""
         from ..native.lib import BatchParser
 
-        batch = BatchParser(stream_bytes)
+        batch = BatchParser(streams)
         parsers = batch.parsers
         sp8 = np.empty((n_streams, chunk_t, SP8_TAIL_WIDTH), np.int8)
         head = np.empty((n_streams, chunk_t, HEAD_WIDTH), np.int16)
@@ -359,6 +441,10 @@ def decode_corpus_fast(
                     batch.parse_chunk_into(sp8, head, side, valids)
                 if not valids.any():
                     break
+                if n_stereo is not None and not chunk_all_mono(
+                    side[n_stereo:], valids[n_stereo:]
+                ):
+                    raise _MonoSplitMismatch()
                 # spectra-scan caps (tail_cap_lines) — the exact ground
                 # truth, so capped exactness is unconditional. The
                 # count1-based tail_cap_from_side is NOT safe here:
@@ -367,15 +453,51 @@ def decode_corpus_fast(
                 # review finding). Capping is skipped in drain mode:
                 # each drained segment's width tuple would compile its
                 # own scan variant (up to |buckets|^drain programs).
-                w = (
-                    tail_cap_lines(sp8, tail_buckets)
-                    if tail_buckets and drain is None
-                    else 512
-                )
-                buf_chunks.append(
-                    put_streamwise(build_fused_chunk(sp8, head, side, w), 0)
-                )
-                widths.append(w)
+                cap = tail_buckets and drain is None
+                if n_stereo is None:
+                    w = tail_cap_lines(sp8, tail_buckets) if cap else 512
+                    bufs = (
+                        put_streamwise(
+                            build_fused_chunk(sp8, head, side, w), 0
+                        ),
+                    )
+                    widths.append((w,))
+                else:
+                    w_st = (
+                        tail_cap_lines(sp8[:n_stereo], tail_buckets)
+                        if cap and n_stereo
+                        else 512
+                    )
+                    w_mo = (
+                        tail_cap_lines(sp8[n_stereo:], tail_buckets)
+                        if cap
+                        else 512
+                    )
+                    bufs = []
+                    if n_stereo:
+                        bufs.append(
+                            put_streamwise(
+                                build_fused_chunk(
+                                    sp8[:n_stereo], head[:n_stereo],
+                                    side[:n_stereo], w_st,
+                                ),
+                                0,
+                            )
+                        )
+                    bufs.append(
+                        put_streamwise(
+                            build_fused_chunk_mono(
+                                sp8[n_stereo:], head[n_stereo:],
+                                side[n_stereo:], w_mo,
+                            ),
+                            0,
+                        )
+                    )
+                    bufs = tuple(bufs)
+                    widths.append(
+                        (w_st, w_mo) if n_stereo else (w_mo,)
+                    )
+                buf_chunks.append(bufs)
                 valid_rows.append(valids.copy())
         finally:
             if executor is not None:
@@ -384,89 +506,166 @@ def decode_corpus_fast(
                 p.close()
         return buf_chunks, widths, valid_rows
 
-    if fused:
-        try:
-            buf_chunks, widths, valid_rows = parse_all_fused()
-            if not buf_chunks:
-                return CorpusResult(pcm=[b""] * n_streams, granules=0,
-                                    samples=0)
-            valids = np.stack(valid_rows)  # [C, S]
-            states = init_states(n_streams)
-            if mesh is not None:
-                states = jax.tree_util.tree_map(
-                    lambda a: put_streamwise(a, 0), states
+    def run_fused(split: bool):
+        # lane grouping: with the split active, streams are processed in
+        # INTERNAL order (stereo lanes first, then mono) and the PCM list
+        # is mapped back to the caller's order at the end
+        n_stereo = None
+        order = list(range(n_streams))
+        if split:
+            flags = [_mono_first_frame(d) for d in stream_bytes]
+            if any(flags):
+                order = [i for i, f in enumerate(flags) if not f] + [
+                    i for i, f in enumerate(flags) if f
+                ]
+                n_stereo = sum(1 for f in flags if not f)
+        streams_internal = [stream_bytes[i] for i in order]
+
+        buf_chunks, widths, valid_rows = parse_all_fused(
+            streams_internal, n_stereo
+        )
+        if not buf_chunks:
+            return CorpusResult(pcm=[b""] * n_streams, granules=0,
+                                samples=0)
+        valids = np.stack(valid_rows)  # [C, S] (internal order)
+        states = init_states(n_streams)
+        if mesh is not None:
+            states = jax.tree_util.tree_map(
+                lambda a: put_streamwise(a, 0), states
+            )
+
+        import functools
+
+        group_bounds = (
+            ((0, n_streams, 2),)
+            if n_stereo is None
+            else tuple(
+                g
+                for g in (
+                    (0, n_stereo, 2),
+                    (n_stereo, n_streams, 1),
                 )
+                if g[1] > g[0]
+            )
+        )
 
-            import functools
+        # one compiled scan per distinct per-corpus width-tuple sequence
+        # (tail_buckets bounds the variants; None -> all 512, one program)
+        @functools.lru_cache(maxsize=None)
+        def scan_for(seg_widths: tuple[tuple[int, ...], ...]):
+            from ..ops.granule import unpack_fused, unpack_fused_mono
 
-            # one compiled scan per distinct width tuple (tail_buckets
-            # bounds the variants; None -> all 512, one program)
-            @functools.lru_cache(maxsize=None)
-            def scan_for(seg_widths: tuple[int, ...]):
-                from ..ops.granule import unpack_fused
-
-                @jax.jit
-                def scan_fused(bufs, states, valids):
-                    tails, heads, sides = [], [], []
-                    for buf, w in zip(bufs, seg_widths):
-                        ta, he, si = unpack_fused(buf, chunk_t, w)
-                        tails.append(ta)
-                        heads.append(he)
-                        sides.append(si)
-                    xs = (
-                        jnp.stack(tails),
-                        jnp.stack(heads),
-                        jnp.stack(sides),
-                        valids,
-                    )
-
-                    def step(st, x):
-                        ta, he, si, v = x
-                        pcm, st = jax.vmap(decode_chunk_packed8_impl)(
-                            ta, he, si, st, v
+            @jax.jit
+            def scan_fused(bufs, states, valids):
+                tails, heads, sides = [], [], []
+                for chunk_bufs, chunk_ws in zip(bufs, seg_widths):
+                    parts = [
+                        unpack_fused(b, chunk_t, w)
+                        if nch == 2
+                        else unpack_fused_mono(b, chunk_t, w)
+                        for b, w, (_, _, nch) in zip(
+                            chunk_bufs, chunk_ws, group_bounds
                         )
-                        return st, pcm
-
-                    states_out, pcms = jax.lax.scan(step, states, xs)
-                    return pcms, states_out
-
-                return scan_fused
-
-            n_chunks = len(buf_chunks)
-            if drain is not None and fetch and drain < n_chunks:
-                k = drain
-                from ..ops.granule import fused_stream_nbytes
-
-                pad_buf = jnp.zeros(
-                    (n_streams, fused_stream_nbytes(chunk_t, 512)), jnp.uint8
+                    ]
+                    tails.append(jnp.concatenate([p[0] for p in parts]))
+                    heads.append(jnp.concatenate([p[1] for p in parts]))
+                    sides.append(jnp.concatenate([p[2] for p in parts]))
+                xs = (
+                    jnp.stack(tails),
+                    jnp.stack(heads),
+                    jnp.stack(sides),
+                    valids,
                 )
 
-                def run_segment(seg, v_seg):
-                    nonlocal states
-                    n_pad = k - (seg.stop - seg.start)
-                    bufs_seg = buf_chunks[seg] + [pad_buf] * n_pad
-                    w_seg = tuple(widths[seg]) + (512,) * n_pad
-                    pcms_dev, states = scan_for(w_seg)(
-                        bufs_seg, states, v_seg
+                def step(st, x):
+                    ta, he, si, v = x
+                    pcm, st = jax.vmap(decode_chunk_packed8_impl)(
+                        ta, he, si, st, v
                     )
-                    return pcms_dev
+                    return st, pcm
 
-                return _drained_result(
+                states_out, pcms = jax.lax.scan(step, states, xs)
+                return pcms, states_out
+
+            return scan_fused
+
+        def reorder_result(res: CorpusResult) -> CorpusResult:
+            if order == list(range(n_streams)):
+                return res
+            pcm = [b""] * n_streams
+            for internal, orig in enumerate(order):
+                pcm[orig] = res.pcm[internal]
+            return CorpusResult(
+                pcm=pcm, granules=res.granules, samples=res.samples
+            )
+
+        n_chunks = len(buf_chunks)
+        if drain is not None and fetch and drain < n_chunks:
+            k = drain
+            from ..ops.granule import (
+                fused_stream_nbytes,
+                fused_stream_nbytes_mono,
+            )
+
+            pad_bufs = tuple(
+                jnp.zeros(
+                    (
+                        hi - lo,
+                        fused_stream_nbytes(chunk_t, 512)
+                        if nch == 2
+                        else fused_stream_nbytes_mono(chunk_t, 512),
+                    ),
+                    jnp.uint8,
+                )
+                for lo, hi, nch in group_bounds
+            )
+            pad_w = tuple(512 for _ in group_bounds)
+
+            def run_segment(seg, v_seg):
+                nonlocal states
+                n_pad = k - (seg.stop - seg.start)
+                bufs_seg = buf_chunks[seg] + [pad_bufs] * n_pad
+                w_seg = tuple(widths[seg]) + (pad_w,) * n_pad
+                pcms_dev, states = scan_for(w_seg)(
+                    bufs_seg, states, v_seg
+                )
+                return pcms_dev
+
+            return reorder_result(
+                _drained_result(
                     n_chunks, k, run_segment, valids, emit, n_streams
                 )
+            )
 
-            pcms, _ = scan_for(tuple(widths))(buf_chunks, states, valids)
-            if not fetch:
-                return pcms, valids
-            host = np.asarray(pcms)
-            parts = [[] for _ in range(n_streams)]
-            emit(parts, host, valids)
-            total = int(valids.sum())
-            return CorpusResult(
+        pcms, _ = scan_for(tuple(widths))(buf_chunks, states, valids)
+        if not fetch:
+            return pcms, valids
+        host = np.asarray(pcms)
+        parts = [[] for _ in range(n_streams)]
+        emit(parts, host, valids)
+        total = int(valids.sum())
+        return reorder_result(
+            CorpusResult(
                 pcm=[b"".join(p) for p in parts],
                 granules=total,
                 samples=total * SAMPLES_PER_GR,
             )
+        )
+
+    if fused:
+        try:
+            split = (
+                mono_split
+                and fetch
+                and mesh is None
+                and n_streams > 0
+            )
+            try:
+                return run_fused(split)
+            except _MonoSplitMismatch:
+                # a "mono" lane produced a stereo granule mid-stream:
+                # re-run with the universal stereo layout
+                return run_fused(False)
         except OverflowError:
             int8 = False
             sp_chunks, aux_chunks, valid_rows = parse_all(int8=False)

@@ -236,3 +236,60 @@ def test_decode_corpus_fast_threaded_parse_identical(
     assert got.pcm == ref.pcm and got.granules == ref.granules
     got3 = decode_corpus_fast(streams, chunk_t=64, n_threads=3)
     assert got3.pcm == ref.pcm
+
+
+def test_mono_split_wire_layout(fixture_classic_lame, fixture_mpeg2):
+    """Mono lanes ship the half-width wire layout (channel-0 planes only);
+    output is byte-identical to the unsplit layout and to the per-stream
+    Decoder, including INTERLEAVED mono/stereo lane order (the internal
+    regrouping must map PCM back to the caller's order)."""
+    from go_mp3_tpu import Decoder
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    # interleaved: mono, stereo, mono, stereo
+    streams = [
+        fixture_mpeg2[:60_000],
+        fixture_classic_lame,
+        fixture_mpeg2[:25_000],
+        fixture_classic_lame[:30_000],
+    ]
+    ref = decode_corpus_fast(streams, chunk_t=64, mono_split=False)
+    got = decode_corpus_fast(streams, chunk_t=64)  # mono_split default
+    assert got.pcm == ref.pcm and got.granules == ref.granules
+    for data, pcm in zip(streams, got.pcm):
+        assert pcm == Decoder(data, backend="device").read_all()
+    # with capping + threads too
+    got2 = decode_corpus_fast(
+        streams, chunk_t=64, tail_buckets=(448, 512), n_threads=2
+    )
+    assert got2.pcm == ref.pcm
+    # all-mono corpus (single half-width group)
+    mono_only = [fixture_mpeg2[:60_000], fixture_mpeg2[:25_000]]
+    refm = decode_corpus_fast(mono_only, chunk_t=64, mono_split=False)
+    gotm = decode_corpus_fast(mono_only, chunk_t=64)
+    assert gotm.pcm == refm.pcm
+
+
+def test_mono_split_mismatch_falls_back():
+    """A lane whose FIRST frame is mono but later turns stereo cannot use
+    the half-width layout; the pipeline must detect it from the sidecar
+    mono bits and re-run with the universal layout, byte-identically."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    import util_synth as U
+
+    from go_mp3_tpu import Decoder
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    # mono first frame, then stereo silent frames (valid MPEG-1 stream)
+    tricky = U.escape_heavy_frame(
+        n_pairs=8, linbit_value=500, global_gain=148
+    ) + b"".join(U.silent_frame(mode=0) for _ in range(6))
+    plain = b"".join(U.silent_frame(mode=0) for _ in range(8))
+    streams = [plain, tricky]
+    ref = decode_corpus_fast(streams, chunk_t=8, mono_split=False)
+    got = decode_corpus_fast(streams, chunk_t=8)
+    assert got.pcm == ref.pcm and got.granules == ref.granules
+    for data, pcm in zip(streams, got.pcm):
+        assert pcm == Decoder(data, backend="device").read_all()
