@@ -133,6 +133,10 @@ SIDE8_WIDTH = 168  # bytes per granule: 44 meta (LE i16) + 44 sfl + 78 sfs + 2
 # sets a sticky overflow and callers fall back to the int16 interface.
 # The head replaces the former scatter-applied escape list: unpacking is
 # a pure concatenate, with no gather/scatter on the device.
+# 64 is measured-minimal, not arbitrary: mpeg2.mp3 carries |value| > 127
+# up to per-channel line 63 (classic_lame only to line 16), so any
+# smaller head would trip the int8 overflow fallback on real low-rate
+# speech and force whole-corpus int16 shipping.
 HEAD_LINES = 64  # per-channel int16 head lines
 HEAD_WIDTH = 2 * HEAD_LINES  # int16 words per granule (both channels)
 SP8_TAIL_WIDTH = 2 * (576 - HEAD_LINES)  # int8 tail bytes per granule
