@@ -439,6 +439,31 @@ struct BitReader {
   }
 };
 
+#ifdef GOMP3_PROF_STATS
+struct ProfStats {
+  uint64_t frames = 0, lanes = 0, lane_steps = 0, pair_fast = 0,
+           pair_slow_direct = 0, pair_slow_two = 0, quad_steps = 0,
+           quads = 0, seg_checks = 0, drain_len[5] = {};
+  uint64_t pair_by_tno[34] = {}, slow_by_tno[34] = {};
+};
+static ProfStats g_stats;
+extern "C" void gmp_prof_stats(uint64_t* out, int cap) {
+  uint64_t flat[9 + 5 + 68];
+  flat[0] = g_stats.frames; flat[1] = g_stats.lanes;
+  flat[2] = g_stats.lane_steps; flat[3] = g_stats.pair_fast;
+  flat[4] = g_stats.pair_slow_direct; flat[5] = g_stats.pair_slow_two;
+  flat[6] = g_stats.quad_steps; flat[7] = g_stats.quads;
+  flat[8] = g_stats.seg_checks;
+  for (int i = 0; i < 5; i++) flat[9 + i] = g_stats.drain_len[i];
+  for (int i = 0; i < 34; i++) flat[14 + i] = g_stats.pair_by_tno[i];
+  for (int i = 0; i < 34; i++) flat[48 + i] = g_stats.slow_by_tno[i];
+  for (int i = 0; i < cap && i < 82; i++) out[i] = flat[i];
+}
+#define PSTAT(expr) ((void)(expr))
+#else
+#define PSTAT(expr) ((void)0)
+#endif
+
 // Decode one codeword (mirrors bitstream/huffman.py decode()).
 static inline void huff_decode(BitReader& m, int table_num, int* x, int* y,
                                int* v, int* w) {
@@ -954,16 +979,23 @@ struct Parser {
       const uint16_t* lut = sl.lut.data();
       uint64_t w64 = BitReader::be64(buf + (L.pos >> 3)) << (L.pos & 7);
       uint32_t e = lut[w64 >> (64 - sbits)];
+      PSTAT(g_stats.lane_steps++);
       if (__builtin_expect(e & 0x8000u, 0)) {
         if (e & 0x4000u) {  // direct: (len, |x|, |y|) from this same load
+          PSTAT(g_stats.pair_slow_direct++);
+          PSTAT(g_stats.slow_by_tno[L.tno[L.seg]]++);
           int len = int(e >> 8) & 0xF;
           finish_pair(L, w64 << len, L.pos + len, int(e >> 4) & 0xF,
                       int(e) & 0xF, L.lb[L.seg]);
         } else {
+          PSTAT(g_stats.pair_slow_two++);
+          PSTAT(g_stats.slow_by_tno[L.tno[L.seg]]++);
           decode_pair_slow(L, w64);
         }
         return;
       }
+      PSTAT(g_stats.pair_fast++);
+      PSTAT(g_stats.pair_by_tno[L.tno[L.seg]]++);
       uint32_t adv = e >> 10;
       L.out[L.is_pos] = int16_t(((e >> 5) & 0x1F) - 15);
       L.out[L.is_pos + 1] = int16_t((e & 0x1F) - 15);
@@ -975,6 +1007,9 @@ struct Parser {
         if (L.is_pos >= end) return;
         uint32_t e2 = lut[(w64 << adv) >> (64 - sbits)];
         if (__builtin_expect(e2 & 0x8000u, 0)) return;  // next call, slow
+        PSTAT(g_stats.pair_fast++);
+        PSTAT(g_stats.drain_len[rep + 1]++);
+        PSTAT(g_stats.pair_by_tno[L.tno[L.seg]]++);
         L.out[L.is_pos] = int16_t(((e2 >> 5) & 0x1F) - 15);
         L.out[L.is_pos + 1] = int16_t((e2 & 0x1F) - 15);
         L.is_pos += 2;
@@ -996,6 +1031,7 @@ struct Parser {
       return;
     }
     static const int8_t dec2[4] = {0, 1, 0, -1};
+    PSTAT(g_stats.quad_steps++);
     const int qbits = L.qlut->bits;
     const uint16_t* qlut = L.qlut->lut.data();
     uint64_t w64 = BitReader::be64(buf + (L.pos >> 3)) << (L.pos & 7);
@@ -1011,8 +1047,10 @@ struct Parser {
     L.is_pos += 4;
     // quads 2..4 from the same window: same end-of-region checks as the
     // loop head
+    PSTAT(g_stats.quads++);
     for (int rep = 0; rep < 3; rep++) {
       if (L.is_pos > 572 || L.pos > L.bit_pos_end) return;
+      PSTAT(g_stats.quads++);
       uint16_t f = qlut[(w64 << adv) >> (64 - qbits)];
       adv += f >> 8;
       L.pos += f >> 8;
@@ -1085,6 +1123,13 @@ struct Parser {
   void run_lanes(HuffLane* lanes, int nl, BitReader& m, SideInfo* si) {
     const uint8_t* buf = m.vec;
     const int64_t total = m.total_bits();
+#ifdef GOMP3_PROF_NO_LANES  // stage-attribution build: skip the decode loop
+    (void)buf; (void)total;
+    for (int i = 0; i < nl; i++) lane_finalize(lanes[i], si);
+    return;
+#endif
+    PSTAT(g_stats.frames++);
+    PSTAT(g_stats.lanes += nl);
     for (;;) {
       bool any = false;
       for (int i = 0; i < nl; i++)
@@ -1293,6 +1338,7 @@ struct Parser {
     if (st != OK) return st;
 
     // host-side short-block reorder (device consumes post-reorder layout)
+#ifndef GOMP3_PROF_NO_REORDER  // stage-attribution build: skip reorder
     for (int gr = 0; gr < ngr; gr++) {
       for (int ch = 0; ch < h.nch(); ch++) {
         if (!(si.win_switch[gr][ch] == 1 && si.block_type[gr][ch] == 2))
@@ -1305,6 +1351,7 @@ struct Parser {
         memcpy(s, tmp, sizeof(tmp));
       }
     }
+#endif
 
     // keep the full assembled buffer as the next frame's reservoir source
     reservoir.swap(assembled);  // scratch now holds the old reservoir
@@ -1593,6 +1640,9 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
       return g > 0 ? g : -1;
     }
     for (int gr = 0; gr < produced; gr++) {
+#ifdef GOMP3_PROF_NO_EMIT  // stage-attribution build: skip emission
+      continue;
+#endif
       const int16_t* src = sp + gr * 1152;
       int16_t* dh = head16 + (g + gr) * (2 * kHeadLines);
       int8_t* d8 = tail8 + (g + gr) * (2 * kTailLines);
