@@ -1,13 +1,14 @@
 #!/bin/sh
 # Build the native host parser -> go_mp3_tpu/native/libmp3parse.so
 #
-# Profile-guided: when the reference fixtures are present, an instrumented
-# build is trained on them (tools/pgo_profile.py drives every hot entry
-# point) and the final build uses the branch profile (~5-7% on the Huffman
-# hot loop, measured). Falls back to a plain build if any PGO step fails.
-# PGO does not change FP semantics: -ffp-contract=off stays in force and
-# C++ FP evaluation order is value-safe under optimization, so the exact
-# backend's bit-for-bit contract (and the golden PCM pins) hold either way.
+# Plain -O3, no PGO: profile-guided builds were measured round 5 at 3-8%
+# SLOWER than plain -O3 on the production corpus-parse workload
+# (interleaved same-process A/B, both with the legacy mixed-entry-point
+# trainer and with a trainer driving gmp_parse_packed8_many on the exact
+# bench corpus). GCC's profile-driven block layout pessimizes the
+# multi-symbol Huffman drain loop; earlier +5-7% PGO readings predate the
+# round-4 interleaved-lane/many-call loop shape. Do not re-enable without
+# a fresh interleaved A/B win.
 set -e
 cd "$(dirname "$0")/.."
 
@@ -19,20 +20,5 @@ OUT="go_mp3_tpu/native/libmp3parse.so"
 # letting g++ fuse changes ~200 samples/file by 1 LSB.
 FLAGS="-O3 -march=native -ffp-contract=off -std=c++17 -fPIC -shared -Wall -Wextra"
 
-pgo_build() {
-    PDIR=$(mktemp -d)
-    trap 'rm -rf "$PDIR"' EXIT
-    g++ $FLAGS -fprofile-generate -fprofile-dir="$PDIR" \
-        $SRC -o "$PDIR/instrumented.so" || return 1
-    python tools/pgo_profile.py "$PDIR/instrumented.so" || return 1
-    g++ $FLAGS -fprofile-use -fprofile-dir="$PDIR" -fprofile-correction \
-        -Wno-missing-profile $SRC -o "$OUT" || return 1
-    echo "built $OUT (PGO)"
-}
-
-if [ -f /root/reference/example/classic_lame.mp3 ] && pgo_build; then
-    :
-else
-    g++ $FLAGS $SRC -o "$OUT"
-    echo "built $OUT"
-fi
+g++ $FLAGS $SRC -o "$OUT"
+echo "built $OUT"
