@@ -281,7 +281,18 @@ struct FastLuts {
     int maxlen = 0;
     for (int i = 0; i < size; i++)
       if (book[i].len > maxlen) maxlen = book[i].len;
-    int pb = maxlen + 2 < 12 ? maxlen + 2 : 12;
+// Width cap for the sign-baked LUT index. 12 is a measured optimum
+// (round 5, interleaved A/B): 11 bits (4 KiB/table) is +4% whole-parse
+// and 10 bits (2 KiB) +12% — the extra slow-direct hits cost more than
+// the halved footprint saves, so L1 capacity is NOT the binding
+// constraint at 48 KiB L1d. Widening past 12 has no headroom either:
+// ~88% of slow hits are t24-t30 linbits escapes that no index width can
+// make fast (prof-stats histogram).
+#ifndef GOMP3_SIGNED_LUT_BITS
+#define GOMP3_SIGNED_LUT_BITS 12
+#endif
+    int pb = maxlen + 2 < GOMP3_SIGNED_LUT_BITS ? maxlen + 2
+                                                : GOMP3_SIGNED_LUT_BITS;
     out->bits = pb;
     // default every index to slow; only fully-baked codes overwrite (long
     // codes' prefixes are never a complete shorter codeword, so their
@@ -943,6 +954,10 @@ struct Parser {
   // One fast decode step for a lane: up to TWO symbols from one 64-bit
   // window via the sign-baked LUT (common case: one L1 load per symbol,
   // advance from the same entry), or segment bookkeeping.
+  // NOTE (round 5, measured): forcing this inline into run_lanes and/or
+  // building with -fvisibility-inlines-hidden (direct call instead of PLT)
+  // are both NEUTRAL in interleaved pairwise A/Bs — the OoO core absorbs
+  // the call; don't re-litigate the outlined-call shape.
   static inline void lane_step(HuffLane& L, const uint8_t* buf,
                                int64_t total) {
     if (L.seg < 3) {
@@ -1147,6 +1162,14 @@ struct Parser {
     }
   }
 
+  // NOTE (round 5, measured): a windowed scalefactor reader (one 64-bit
+  // load serving ~14 slen fields, byte-identical output) measured NEUTRAL
+  // to +0.7% in interleaved pairwise A/Bs — m.bits() is already ~6
+  // cycles/call and the whole scalefactor stage is only ~4% of parse
+  // (stage-skip attribution: lanes ~80%, emission ~12% and fully
+  // NT-store-bound, scalefactors ~4%, sync+header+side+reservoir ~5%).
+  // Don't re-fold without new evidence.
+
   // Lane setup shared by both scalefactor readers: either the zero-length
   // fast-out (reference quirk: scalefactor bits stay consumed, m.pos is NOT
   // jumped) or a prepared lane + jump to the next region start.
@@ -1184,6 +1207,10 @@ struct Parser {
         int64_t part2_start = m.pos;
         int slen1 = kScalefacSizesMpeg1[si->scalefac_compress[gr][ch]][0];
         int slen2 = kScalefacSizesMpeg1[si->scalefac_compress[gr][ch]][1];
+#ifdef GOMP3_PROF_NO_SF  // stage-attribution build: skip scalefactor reads
+        (void)slen1; (void)slen2; (void)sfs_g; (void)sfl_g;
+#endif
+#ifndef GOMP3_PROF_NO_SF
         if (si->win_switch[gr][ch] == 1 && si->block_type[gr][ch] == 2) {
           if (si->mixed_flag[gr][ch]) {
             for (int sfb = 0; sfb < 8; sfb++)
@@ -1215,6 +1242,7 @@ struct Parser {
             }
           }
         }
+#endif  // GOMP3_PROF_NO_SF
         Status st = setup_lane_or_skip(
             m, h, si, gr, ch, part2_start,
             spectra + (gr * 2 + ch) * kSamplesPerGr, lanes, &nl);
@@ -1249,10 +1277,15 @@ struct Parser {
         int num = slen & 7;
         slen >>= 3;
         int c = kScalefacSizesMpeg2[n][d][i];
+#ifdef GOMP3_PROF_NO_SF  // stage-attribution build: skip scalefactor reads
+        for (int k = 0; k < c; k++) sf[cnt++] = 0;
+        (void)num;
+#else
         if (num > 0)
           for (int k = 0; k < c; k++) sf[cnt++] = int(m.bits(num));
         else
           for (int k = 0; k < c; k++) sf[cnt++] = 0;
+#endif
       }
       int pad = (n << 1) + 1;
       for (int k = 0; k < pad; k++) sf[cnt++] = 0;
@@ -1650,6 +1683,22 @@ int gmp_parse_packed8(void* pv, int cap, int8_t* tail8, int16_t* head16,
       // zeros directly instead of packing 576 zero lines through the SSE
       // narrow (the device unpack reads the same zeros either way)
       const int nch_emit = (meta[gr * 24 + 1] & 4) ? 1 : 2;
+      // Attribution build: same NT stores, no loads/pack. Measured (round
+      // 5) IDENTICAL to full emission in interleaved A/Bs — emission is
+      // entirely NT-store-bound, so extent-capped packing or other ALU
+      // savings in this loop cannot help; only storing fewer bytes would
+      // (and the device consumes full-width rows, so there are none to
+      // drop host-side).
+#ifdef GOMP3_PROF_EMIT_ZEROS
+      if (nt256) {
+        const __m256i z = _mm256_setzero_si256();
+        for (int i = 0; i < 2 * kHeadLines; i += 16)
+          _mm256_stream_si256((__m256i*)(dh + i), z);
+        for (int i = 0; i < 2 * kTailLines; i += 32)
+          _mm256_stream_si256((__m256i*)(d8 + i), z);
+        goto emit_sidecar;
+      }
+#endif
 #ifdef GOMP3_AVX2
       if (nt256) {
         // one 32B NT store per 32 tail lines: two 16x16-bit loads ->
