@@ -364,7 +364,15 @@ class BatchParser:
     Wraps per-stream NativeParsers; close() releases them all."""
 
     def __init__(self, stream_bytes: list[bytes]):
-        self.parsers = [NativeParser(d) for d in stream_bytes]
+        self.parsers: list[NativeParser] = []
+        try:
+            for d in stream_bytes:
+                self.parsers.append(NativeParser(d))
+        except Exception:
+            # release already-created C handles before re-raising
+            for p in self.parsers:
+                p.close()
+            raise
         self._lib = _load()
         self._handles = (ctypes.c_void_p * len(self.parsers))(
             *[p._p for p in self.parsers]
@@ -376,41 +384,60 @@ class BatchParser:
         head16: np.ndarray,
         side8: np.ndarray,
         valids: np.ndarray,
+        lo: int = 0,
+        hi: int | None = None,
     ) -> int:
         """Parse the next chunk of every stream into [S, cap, ...] arrays
         (shapes [S,cap,SP8_TAIL_WIDTH] i8 / [S,cap,HEAD_WIDTH] i16 /
         [S,cap,SIDE8_WIDTH] u8, valids [S] i32). Returns max granules
         across streams (0 = corpus exhausted). Raises like
-        parse_packed8_into on hard error / int8 overflow."""
+        parse_packed8_into on hard error / int8 overflow.
+
+        lo/hi restrict the call to the contiguous lane block [lo, hi):
+        one C call per block, so a thread pool with disjoint blocks keeps
+        the many-call batching (each worker touches only its own rows of
+        the arrays and its own parsers — GIL-free, byte-identical to
+        serial)."""
         s, cap = tail8.shape[0], tail8.shape[1]
+        if hi is None:
+            hi = s
         assert tail8.shape == (s, cap, SP8_TAIL_WIDTH) and tail8.dtype == np.int8
         assert head16.shape == (s, cap, HEAD_WIDTH) and head16.dtype == np.int16
         assert side8.shape == (s, cap, SIDE8_WIDTH) and side8.dtype == np.uint8
         assert valids.shape == (s,) and valids.dtype == np.int32
+        assert 0 <= lo <= hi <= s == len(self.parsers)
         for a in (tail8, head16, side8, valids):
             assert a.flags.c_contiguous
+        if lo == hi:
+            return 0
         err_stream = ctypes.c_int32(-1)
         n = self._lib.gmp_parse_packed8_many(
-            self._handles,
-            s,
+            ctypes.cast(
+                ctypes.byref(
+                    self._handles, lo * ctypes.sizeof(ctypes.c_void_p)
+                ),
+                ctypes.POINTER(ctypes.c_void_p),
+            ),
+            hi - lo,
             cap,
-            tail8.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
-            _i16p(head16),
-            side8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            _i32p(valids),
+            tail8[lo:hi].ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+            _i16p(head16[lo:hi]),
+            side8[lo:hi].ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            _i32p(valids[lo:hi]),
             ctypes.byref(err_stream),
         )
         if n == -1:
             err = self._lib.gmp_error(
-                self.parsers[err_stream.value]._p
+                self.parsers[lo + err_stream.value]._p
             ).decode()
             raise ValueError(
-                f"mp3: native parse failed (stream {err_stream.value}): {err}"
+                "mp3: native parse failed "
+                f"(stream {lo + err_stream.value}): {err}"
             )
         if n == -2:
             raise OverflowError(
                 "mp3: tail spectra clipped int8; use parse_packed_into "
-                f"(stream {err_stream.value})"
+                f"(stream {lo + err_stream.value})"
             )
         return n
 

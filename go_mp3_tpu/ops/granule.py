@@ -133,15 +133,19 @@ _NV = T.N_BAND_VARIANTS
 #    be small integers (exactly representable in the bf16-pair split).
 # A future edit that routes real-valued data through either slot trips these
 # before any test compares numbers. test_stage_parity additionally pins the
-# operand SIDES structurally via the traced jaxpr.
+# operand SIDES structurally via the traced jaxpr. Explicit raises (not
+# bare asserts) so `python -O` cannot strip the guard.
 for _e_chk in (T.E_LONG, T.E_SHORT, T.E_SHORT_IS):
     _a = np.asarray(_e_chk)
-    assert ((_a == 0) | (_a == 1)).all(), "expansion matrices must be 0/1"
+    if not ((_a == 0) | (_a == 1)).all():
+        raise AssertionError("expansion matrices must be 0/1")
 for _t_chk in (T.LONG_BAND_START, T.SHORT_BAND_START3):
     _a = np.asarray(_t_chk)
-    assert (_a == np.round(_a)).all() and np.abs(_a).max() < 2048, (
-        "_select_by_variant tables must be small integers (bf16-pair exact)"
-    )
+    if not ((_a == np.round(_a)).all() and np.abs(_a).max() < 2048):
+        raise AssertionError(
+            "_select_by_variant tables must be small integers "
+            "(bf16-pair exact)"
+        )
 del _e_chk, _t_chk, _a
 
 

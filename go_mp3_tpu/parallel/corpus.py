@@ -140,50 +140,35 @@ def chunk_all_mono(side: np.ndarray, valids: np.ndarray) -> bool:
     return True
 
 
-def tail_cap_lines(spectra: np.ndarray, buckets=(448, 512)) -> int:
-    """Smallest bucketed per-channel tail-line count covering every nonzero
-    line of the chunk (spectra [S,T,1024] i8, per-granule [2ch, 512]).
-    Each distinct returned value implies one compiled program variant, so
-    the widths are bucketed; 512 (full) is always a legal answer.
-
-    This scans the spectra (the independent ground truth, used by tests);
-    the production pipeline uses tail_cap_from_side below, which reads the
-    already-parsed count1 words at negligible cost."""
+def tail_need_lines(spectra: np.ndarray) -> int:
+    """Exact per-channel tail-line extent of the chunk: the number of
+    leading tail lines covering every nonzero line (spectra [S,T,1024] i8,
+    per-granule [2ch, 512]). Scans the POST-reorder spectra — the ground
+    truth; a count1-derived bound is NOT equivalent (count1 is a
+    pre-reorder boundary and the short-block permutation can move nonzero
+    lines above it; a count1-based helper was deleted round 5 for exactly
+    that reason, see round-4 review finding)."""
     nz = spectra.reshape(-1, 2, 512).any(axis=(0, 1))
     idx = np.nonzero(nz)[0]
-    need = int(idx.max()) + 1 if idx.size else 0
+    return int(idx.max()) + 1 if idx.size else 0
+
+
+def bucket_tail_lines(need: int, buckets=(448, 512)) -> int:
+    """Smallest bucketed width >= need; each distinct width implies one
+    compiled program variant, hence the bucketing. 512 (full) is always a
+    legal answer; buckets past the 512-line tail are invalid."""
     for w in buckets:
-        if need <= w <= 512:  # buckets past the 512-line tail are invalid
+        if need <= w <= 512:
             return w
     return 512
 
 
-def tail_cap_from_side(side: np.ndarray, buckets=(448, 512)) -> int:
-    """Bucketed tail cap from the sidecar's count1 words (side [S,T,168]
-    u8) — a conservative FAST bound; the production fused path uses
-    tail_cap_lines (the spectra scan) instead, which is exact by
-    construction.
-
-    count1 is the per-channel rzero start the Huffman driver computed
-    (maindata/huffman.go:92-125 semantics) — but it is a PRE-reorder
-    boundary, and the emitted spectra are POST-reorder: the short-block
-    permutation can move a nonzero line from below count1 to above it.
-    This helper therefore only trusts count1 for chunks whose granules
-    are ALL long-block (block_class 0 both channels, meta word 12/13);
-    any short/mixed granule forces the full 512-line width."""
-    from ..consts import HEAD_LINES
-
-    cls = side[..., 24:28].astype(np.int32)  # LE bytes of meta words 12/13
-    if cls.any():
-        return 512
-    c1 = side[..., 40:44:2].astype(np.int32) | (
-        side[..., 41:45:2].astype(np.int32) << 8
-    )  # [S, T, 2] count1 per channel (meta words 20/21)
-    need = int(c1.max()) - HEAD_LINES
-    for w in buckets:
-        if need <= w <= 512:  # buckets past the 512-line tail are invalid
-            return w
-    return 512
+def tail_cap_lines(spectra: np.ndarray, buckets=(448, 512)) -> int:
+    """Smallest bucketed per-channel tail-line count covering every
+    nonzero line of the chunk — bucket_tail_lines(tail_need_lines(...)).
+    This spectra scan is what the production fused path uses (exact by
+    construction)."""
+    return bucket_tail_lines(tail_need_lines(spectra), buckets)
 
 
 def _drained_result(n_chunks, k, run_segment, valids, emit, n_streams):
@@ -191,9 +176,12 @@ def _drained_result(n_chunks, k, run_segment, valids, emit, n_streams):
     compiled scan and fetch each segment's PCM while the NEXT segment
     computes (the device works under the blocking host-side np.asarray of
     the previous segment). run_segment(seg, v_seg) executes the scan for
-    chunk slice `seg` (padding to k chunks itself) and returns the
-    device PCM array; both the fused and three-array paths plug in here
-    so the pipelining/padding/emit logic exists once."""
+    chunk slice `seg` (padding to k chunks itself) and returns the device
+    PCM (an array, or a tuple of per-lane-group arrays on the fused
+    path); both the fused and three-array paths plug in here so the
+    pipelining/padding/emit logic exists once."""
+    import jax
+
     parts: list[list[bytes]] = [[] for _ in range(n_streams)]
     pending = None  # (pcms on device, valids of that segment)
     for lo in range(0, n_chunks, k):
@@ -202,10 +190,12 @@ def _drained_result(n_chunks, k, run_segment, valids, emit, n_streams):
         v_seg[: seg.stop - seg.start] = valids[seg]
         pcms_dev = run_segment(seg, v_seg)
         if pending is not None:
-            emit(parts, np.asarray(pending[0]), pending[1])
+            emit(parts, jax.tree_util.tree_map(np.asarray, pending[0]),
+                 pending[1])
         pending = (pcms_dev, v_seg)
     if pending is not None:
-        emit(parts, np.asarray(pending[0]), pending[1])
+        emit(parts, jax.tree_util.tree_map(np.asarray, pending[0]),
+             pending[1])
     total = int(valids.sum())
     return CorpusResult(
         pcm=[b"".join(p) for p in parts],
@@ -249,9 +239,12 @@ def decode_corpus_fast(
     ([C, S, chunk_t*576, 2] int16) lives in device memory until fetched —
     ~45 MB per chunk at the default shapes, capping corpus length by HBM.
     With drain=k the corpus decodes in segments of k chunks through ONE
-    compiled k-chunk scan (DSP state carried across segments), and each
-    segment's PCM is fetched while the NEXT segment computes — device
-    memory stays O(k), flat in corpus length. Requires fetch=True.
+    compiled k-chunk scan (DSP state carried across segments), each
+    segment's PCM is fetched while the NEXT segment computes, and each
+    segment's INPUT buffers are packed + uploaded only when its turn
+    comes (the host keeps the parsed pool chunks) — device memory stays
+    O(k) for inputs and outputs alike, flat in corpus length. Requires
+    fetch=True.
 
     Pass a jax.sharding.Mesh (1-D, axis 'streams' — see mesh.make_mesh) to
     shard the stream axis across chips: streams are independent, so the
@@ -267,10 +260,12 @@ def decode_corpus_fast(
     (448, 512)); each fused chunk then ships only up to the smallest
     bucket covering its nonzero lines, determined by SCANNING the parsed
     spectra (tail_cap_lines) so exactness is unconditional. One scan
-    program is compiled per distinct per-corpus width TUPLE. Ignored
-    when drain is set (per-segment width tuples would compile up to
-    |buckets|^drain variants — remote compiles cost minutes each).
-    None = always full width.
+    program is compiled per distinct per-corpus width TUPLE. In drain
+    mode the cap is CORPUS-GLOBAL (the bucketed max extent over all
+    chunks): every segment then runs the same single compiled program —
+    capping stays active in the memory-bounded production mode without
+    the |buckets|^drain compile explosion per-segment tuples would
+    cause. None = always full width.
 
     n_threads: parse the (independent) streams with a pool of k worker
     threads, each owning a fixed disjoint lane subset — SURVEY section 7(b)
@@ -284,11 +279,14 @@ def decode_corpus_fast(
     a half-width wire layout (only the channel-0 planes; ch1 of a mono
     granule is all-zero by the parser's contract and is reconstructed on
     device — exactness is structural). Lanes are grouped internally
-    (stereo first) and the PCM list is mapped back to the caller's order.
-    Every chunk is verified against the sidecar mono bits; a stereo
-    granule appearing mid-stream in a "mono" lane re-runs the corpus with
-    the universal layout. Active only on the fused path with fetch=True
-    and no mesh.
+    (stereo first), each group decodes separately (no device-side
+    concat), and the PCM list is mapped back to the caller's order (with
+    fetch=False, via one device-side gather). Every chunk is verified
+    against the sidecar mono bits; a stereo granule appearing mid-stream
+    in a "mono" lane re-runs the corpus with the universal layout. Under
+    a mesh the split stays active when each lane group's size divides
+    the mesh evenly (both groups then shard zero-collective); otherwise
+    it falls back to the universal layout. Fused path only.
     """
     import jax
     import jax.numpy as jnp
@@ -387,52 +385,68 @@ def decode_corpus_fast(
         except Exception:
             return False  # unclassifiable -> stereo layout (safe superset)
 
-    def parse_all_fused(streams, n_stereo):
-        """Parse `streams` (internal lane order) into fused chunk buffers.
-        n_stereo = None -> one full-width group; otherwise lanes
-        [0, n_stereo) ship the stereo layout and [n_stereo, S) the
-        half-width mono layout (verified per chunk against the sidecar
-        mono bits; a stereo granule in the mono group raises
-        _MonoSplitMismatch and the caller re-runs unsplit)."""
+    def pack_groups(sp8, head, side, group_bounds, ws):
+        """Pool chunk -> per-group fused device buffers at widths ws."""
+        bufs = []
+        for (lo, hi, nch), w in zip(group_bounds, ws):
+            build = build_fused_chunk if nch == 2 else build_fused_chunk_mono
+            bufs.append(
+                put_streamwise(
+                    build(sp8[lo:hi], head[lo:hi], side[lo:hi], w), 0
+                )
+            )
+        return tuple(bufs)
+
+    def parse_all_fused(streams, group_bounds, defer_pack):
+        """Parse `streams` (internal lane order) into fused chunks.
+
+        group_bounds: ((lo, hi, nch), ...) lane groups — nch=2 ships the
+        stereo layout, nch=1 the half-width mono layout (verified per
+        chunk against the sidecar mono bits; a stereo granule in a mono
+        group raises _MonoSplitMismatch and the caller re-runs unsplit).
+
+        defer_pack=False: each chunk is packed at its own bucketed width
+        and device_put immediately (uploads ride under the remaining
+        parse) -> (buf_chunks, widths, valid_rows).
+        defer_pack=True (drain mode): HOST copies of the pool arrays are
+        kept with each chunk's exact per-group extents; the caller packs
+        per segment at corpus-global widths, so device input memory stays
+        O(drain) and ONE scan program serves every segment ->
+        (pool_chunks, needs, valid_rows)."""
         from ..native.lib import BatchParser
 
         batch = BatchParser(streams)
-        parsers = batch.parsers
         sp8 = np.empty((n_streams, chunk_t, SP8_TAIL_WIDTH), np.int8)
         head = np.empty((n_streams, chunk_t, HEAD_WIDTH), np.int16)
         side = np.empty((n_streams, chunk_t, SIDE8_WIDTH), np.uint8)
-        buf_chunks, widths, valid_rows = [], [], []
+        chunk_store, meta_rows, valid_rows = [], [], []
 
         executor = None
-        lane_groups = None
+        lane_blocks = None
         if n_threads > 1:
             from concurrent.futures import ThreadPoolExecutor
 
             k = min(n_threads, n_streams)
             executor = ThreadPoolExecutor(max_workers=k)
             # contiguous disjoint lane blocks: each worker owns its
-            # parsers and its rows of the pool arrays for the whole run
+            # parsers and its rows of the pool arrays for the whole run,
+            # and makes ONE C call per chunk for its block (the same
+            # many-call batching the serial path uses)
             bounds = [round(i * n_streams / k) for i in range(k + 1)]
-            lane_groups = [
-                range(bounds[i], bounds[i + 1]) for i in range(k)
+            lane_blocks = [
+                (bounds[i], bounds[i + 1]) for i in range(k)
             ]
 
-        def parse_lanes(group, valids):
-            for s in group:
-                n = parsers[s].parse_packed8_into(sp8[s], head[s], side[s])
-                valids[s] = n
-                if n < chunk_t:
-                    sp8[s, n:] = 0
-                    head[s, n:] = 0
-                    side[s, n:] = 0
+        def parse_block(lo, hi, valids):
+            batch.parse_chunk_into(sp8, head, side, valids, lo=lo, hi=hi)
 
         try:
             while True:
                 valids = np.zeros(n_streams, np.int32)
                 if executor is not None:
                     futs = [
-                        executor.submit(parse_lanes, g, valids)
-                        for g in lane_groups
+                        executor.submit(parse_block, lo, hi, valids)
+                        for lo, hi in lane_blocks
                     ]
                     for f in futs:
                         f.result()  # re-raises worker exceptions
@@ -441,100 +455,64 @@ def decode_corpus_fast(
                     batch.parse_chunk_into(sp8, head, side, valids)
                 if not valids.any():
                     break
-                if n_stereo is not None and not chunk_all_mono(
-                    side[n_stereo:], valids[n_stereo:]
-                ):
-                    raise _MonoSplitMismatch()
-                # spectra-scan caps (tail_cap_lines) — the exact ground
-                # truth, so capped exactness is unconditional. The
-                # count1-based tail_cap_from_side is NOT safe here:
-                # count1 is a pre-reorder boundary and the short-block
-                # permutation can move nonzero lines above it (round-4
-                # review finding). Capping is skipped in drain mode:
-                # each drained segment's width tuple would compile its
-                # own scan variant (up to |buckets|^drain programs).
-                cap = tail_buckets and drain is None
-                if n_stereo is None:
-                    w = tail_cap_lines(sp8, tail_buckets) if cap else 512
-                    bufs = (
-                        put_streamwise(
-                            build_fused_chunk(sp8, head, side, w), 0
-                        ),
+                for lo, hi, nch in group_bounds:
+                    if nch == 1 and not chunk_all_mono(
+                        side[lo:hi], valids[lo:hi]
+                    ):
+                        raise _MonoSplitMismatch()
+                # spectra-scan extents (tail_need_lines) — the exact
+                # ground truth, so capped exactness is unconditional
+                # (count1-based capping is NOT safe: count1 is a
+                # pre-reorder boundary, round-4 review finding)
+                if defer_pack:
+                    chunk_store.append(
+                        (sp8.copy(), head.copy(), side.copy())
                     )
-                    widths.append((w,))
+                    meta_rows.append(
+                        tuple(
+                            tail_need_lines(sp8[lo:hi])
+                            for lo, hi, _ in group_bounds
+                        )
+                    )
                 else:
-                    w_st = (
-                        tail_cap_lines(sp8[:n_stereo], tail_buckets)
-                        if cap and n_stereo
+                    ws = tuple(
+                        tail_cap_lines(sp8[lo:hi], tail_buckets)
+                        if tail_buckets
                         else 512
+                        for lo, hi, _ in group_bounds
                     )
-                    w_mo = (
-                        tail_cap_lines(sp8[n_stereo:], tail_buckets)
-                        if cap
-                        else 512
+                    chunk_store.append(
+                        pack_groups(sp8, head, side, group_bounds, ws)
                     )
-                    bufs = []
-                    if n_stereo:
-                        bufs.append(
-                            put_streamwise(
-                                build_fused_chunk(
-                                    sp8[:n_stereo], head[:n_stereo],
-                                    side[:n_stereo], w_st,
-                                ),
-                                0,
-                            )
-                        )
-                    bufs.append(
-                        put_streamwise(
-                            build_fused_chunk_mono(
-                                sp8[n_stereo:], head[n_stereo:],
-                                side[n_stereo:], w_mo,
-                            ),
-                            0,
-                        )
-                    )
-                    bufs = tuple(bufs)
-                    widths.append(
-                        (w_st, w_mo) if n_stereo else (w_mo,)
-                    )
-                buf_chunks.append(bufs)
+                    meta_rows.append(ws)
                 valid_rows.append(valids.copy())
         finally:
             if executor is not None:
                 executor.shutdown(wait=True)
-            for p in parsers:
-                p.close()
-        return buf_chunks, widths, valid_rows
+            batch.close()
+        return chunk_store, meta_rows, valid_rows
 
     def run_fused(split: bool):
         # lane grouping: with the split active, streams are processed in
         # INTERNAL order (stereo lanes first, then mono) and the PCM list
-        # is mapped back to the caller's order at the end
+        # is mapped back to the caller's order at the end. Each lane
+        # group decodes separately (no device-side concat), so under a
+        # mesh both groups shard zero-collective — provided each group's
+        # size divides the mesh evenly (otherwise fall back unsplit).
         n_stereo = None
         order = list(range(n_streams))
         if split:
             flags = [_mono_first_frame(d) for d in stream_bytes]
-            if any(flags):
+            ns = sum(1 for f in flags if not f)
+            mesh_ok = mesh is None or (
+                ns % mesh.size == 0 and (n_streams - ns) % mesh.size == 0
+            )
+            if any(flags) and mesh_ok:
                 order = [i for i, f in enumerate(flags) if not f] + [
                     i for i, f in enumerate(flags) if f
                 ]
-                n_stereo = sum(1 for f in flags if not f)
+                n_stereo = ns
         streams_internal = [stream_bytes[i] for i in order]
-
-        buf_chunks, widths, valid_rows = parse_all_fused(
-            streams_internal, n_stereo
-        )
-        if not buf_chunks:
-            return CorpusResult(pcm=[b""] * n_streams, granules=0,
-                                samples=0)
-        valids = np.stack(valid_rows)  # [C, S] (internal order)
-        states = init_states(n_streams)
-        if mesh is not None:
-            states = jax.tree_util.tree_map(
-                lambda a: put_streamwise(a, 0), states
-            )
-
-        import functools
 
         group_bounds = (
             ((0, n_streams, 2),)
@@ -548,46 +526,85 @@ def decode_corpus_fast(
                 if g[1] > g[0]
             )
         )
+        defer_pack = drain is not None and fetch
+        chunk_store, meta_rows, valid_rows = parse_all_fused(
+            streams_internal, group_bounds, defer_pack
+        )
+        if not chunk_store:
+            return CorpusResult(pcm=[b""] * n_streams, granules=0,
+                                samples=0)
+        valids = np.stack(valid_rows)  # [C, S] (internal order)
+
+        def group_states():
+            sts = []
+            for lo, hi, _ in group_bounds:
+                st = init_states(hi - lo)
+                if mesh is not None:
+                    st = jax.tree_util.tree_map(
+                        lambda a: put_streamwise(a, 0), st
+                    )
+                sts.append(st)
+            return tuple(sts)
+
+        def group_valids(v):  # [k, S] -> per-group tuple
+            return tuple(v[:, lo:hi] for lo, hi, _ in group_bounds)
+
+        import functools
 
         # one compiled scan per distinct per-corpus width-tuple sequence
-        # (tail_buckets bounds the variants; None -> all 512, one program)
+        # (tail_buckets bounds the variants; None -> all 512, one
+        # program; drain mode passes one corpus-global tuple -> one
+        # program regardless of corpus length)
         @functools.lru_cache(maxsize=None)
         def scan_for(seg_widths: tuple[tuple[int, ...], ...]):
             from ..ops.granule import unpack_fused, unpack_fused_mono
 
             @jax.jit
-            def scan_fused(bufs, states, valids):
-                tails, heads, sides = [], [], []
-                for chunk_bufs, chunk_ws in zip(bufs, seg_widths):
-                    parts = [
-                        unpack_fused(b, chunk_t, w)
-                        if nch == 2
-                        else unpack_fused_mono(b, chunk_t, w)
-                        for b, w, (_, _, nch) in zip(
-                            chunk_bufs, chunk_ws, group_bounds
-                        )
-                    ]
-                    tails.append(jnp.concatenate([p[0] for p in parts]))
-                    heads.append(jnp.concatenate([p[1] for p in parts]))
-                    sides.append(jnp.concatenate([p[2] for p in parts]))
-                xs = (
-                    jnp.stack(tails),
-                    jnp.stack(heads),
-                    jnp.stack(sides),
-                    valids,
-                )
-
-                def step(st, x):
-                    ta, he, si, v = x
-                    pcm, st = jax.vmap(decode_chunk_packed8_impl)(
-                        ta, he, si, st, v
+            def scan_fused(bufs, sts, vls):
+                xs = []
+                for gi, (lo, hi, nch) in enumerate(group_bounds):
+                    unpack = (
+                        unpack_fused if nch == 2 else unpack_fused_mono
                     )
-                    return st, pcm
+                    parts = [
+                        unpack(cb[gi], chunk_t, ws[gi])
+                        for cb, ws in zip(bufs, seg_widths)
+                    ]
+                    xs.append(
+                        (
+                            jnp.stack([p[0] for p in parts]),
+                            jnp.stack([p[1] for p in parts]),
+                            jnp.stack([p[2] for p in parts]),
+                            vls[gi],
+                        )
+                    )
 
-                states_out, pcms = jax.lax.scan(step, states, xs)
-                return pcms, states_out
+                def step(st_t, x_t):
+                    new_sts, pcms = [], []
+                    for st, (ta, he, si, v) in zip(st_t, x_t):
+                        pcm, st = jax.vmap(decode_chunk_packed8_impl)(
+                            ta, he, si, st, v
+                        )
+                        new_sts.append(st)
+                        pcms.append(pcm)
+                    return tuple(new_sts), tuple(pcms)
+
+                sts_out, pcms = jax.lax.scan(step, sts, tuple(xs))
+                return pcms, sts_out
 
             return scan_fused
+
+        def emit_groups(parts, hosts, valids_seg):
+            # hosts: per-group [k, S_g, t*576, 2]; valids_seg [k, S]
+            for h, (lo, hi, _) in zip(hosts, group_bounds):
+                for c in range(valids_seg.shape[0]):
+                    for s in range(lo, hi):
+                        v = int(valids_seg[c, s])
+                        if v:
+                            parts[s].append(
+                                h[c, s - lo, : v * SAMPLES_PER_GR]
+                                .tobytes()
+                            )
 
         def reorder_result(res: CorpusResult) -> CorpusResult:
             if order == list(range(n_streams)):
@@ -599,9 +616,22 @@ def decode_corpus_fast(
                 pcm=pcm, granules=res.granules, samples=res.samples
             )
 
-        n_chunks = len(buf_chunks)
-        if drain is not None and fetch and drain < n_chunks:
-            k = drain
+        states = group_states()
+        n_chunks = len(chunk_store)
+        if defer_pack:
+            k = min(drain, n_chunks)
+            # corpus-global width per group (max exact extent over all
+            # chunks, bucketed): every segment runs the SAME compiled
+            # program, so tail capping stays active in the memory-bounded
+            # drain mode (round-4 verdict item)
+            w_g = tuple(
+                bucket_tail_lines(
+                    max(n[gi] for n in meta_rows), tail_buckets
+                )
+                if tail_buckets
+                else 512
+                for gi in range(len(group_bounds))
+            )
             from ..ops.granule import (
                 fused_stream_nbytes,
                 fused_stream_nbytes_mono,
@@ -611,38 +641,56 @@ def decode_corpus_fast(
                 jnp.zeros(
                     (
                         hi - lo,
-                        fused_stream_nbytes(chunk_t, 512)
+                        fused_stream_nbytes(chunk_t, w)
                         if nch == 2
-                        else fused_stream_nbytes_mono(chunk_t, 512),
+                        else fused_stream_nbytes_mono(chunk_t, w),
                     ),
                     jnp.uint8,
                 )
-                for lo, hi, nch in group_bounds
+                for (lo, hi, nch), w in zip(group_bounds, w_g)
             )
-            pad_w = tuple(512 for _ in group_bounds)
 
             def run_segment(seg, v_seg):
                 nonlocal states
+                # pack + upload THIS segment only: device input memory
+                # stays O(drain) (host keeps the parsed pool chunks)
                 n_pad = k - (seg.stop - seg.start)
-                bufs_seg = buf_chunks[seg] + [pad_bufs] * n_pad
-                w_seg = tuple(widths[seg]) + (pad_w,) * n_pad
-                pcms_dev, states = scan_for(w_seg)(
-                    bufs_seg, states, v_seg
+                bufs_seg = [
+                    pack_groups(sp8, head, side, group_bounds, w_g)
+                    for sp8, head, side in chunk_store[seg]
+                ] + [pad_bufs] * n_pad
+                pcms_dev, states = scan_for((w_g,) * k)(
+                    bufs_seg, states, group_valids(v_seg)
                 )
                 return pcms_dev
 
             return reorder_result(
                 _drained_result(
-                    n_chunks, k, run_segment, valids, emit, n_streams
+                    n_chunks, k, run_segment, valids, emit_groups,
+                    n_streams,
                 )
             )
 
-        pcms, _ = scan_for(tuple(widths))(buf_chunks, states, valids)
+        pcms, _ = scan_for(tuple(meta_rows))(
+            chunk_store, states, group_valids(valids)
+        )
         if not fetch:
-            return pcms, valids
-        host = np.asarray(pcms)
+            # device-resident result in CALLER order: concatenate the
+            # lane groups and invert the internal regrouping with one
+            # device-side take (no-op when no split happened)
+            pcm_all = (
+                pcms[0]
+                if len(pcms) == 1
+                else jnp.concatenate(pcms, axis=1)
+            )
+            if order != list(range(n_streams)):
+                inv = np.argsort(np.asarray(order))
+                pcm_all = jnp.take(pcm_all, jnp.asarray(inv), axis=1)
+                return pcm_all, valids[:, inv]
+            return pcm_all, valids
+        hosts = [np.asarray(p) for p in pcms]
         parts = [[] for _ in range(n_streams)]
-        emit(parts, host, valids)
+        emit_groups(parts, hosts, valids)
         total = int(valids.sum())
         return reorder_result(
             CorpusResult(
@@ -654,12 +702,7 @@ def decode_corpus_fast(
 
     if fused:
         try:
-            split = (
-                mono_split
-                and fetch
-                and mesh is None
-                and n_streams > 0
-            )
+            split = mono_split and n_streams > 0
             try:
                 return run_fused(split)
             except _MonoSplitMismatch:

@@ -185,35 +185,23 @@ def test_tail_cap_lines_buckets():
     assert tail_cap_lines(sp, (64, 448, 512)) == 512
 
 
-def test_tail_cap_from_side_matches_spectra(fixture_classic_lame, fixture_mpeg2):
-    """The production count1-based cap equals the spectra-scan ground
-    truth on parser-emitted chunks (both fixtures, several chunks)."""
+def test_tail_need_and_bucket_helpers():
+    """tail_need_lines is the exact nonzero extent; bucket_tail_lines maps
+    it to the smallest legal compiled-width bucket."""
     import numpy as np
 
-    from go_mp3_tpu.consts import HEAD_WIDTH, SIDE8_WIDTH, SP8_TAIL_WIDTH
-    from go_mp3_tpu.native.lib import NativeParser
-    from go_mp3_tpu.parallel.corpus import tail_cap_from_side, tail_cap_lines
+    from go_mp3_tpu.parallel.corpus import (
+        bucket_tail_lines,
+        tail_need_lines,
+    )
 
-    buckets = (64, 128, 192, 256, 320, 384, 448, 512)
-    for data in (fixture_classic_lame, fixture_mpeg2):
-        p = NativeParser(data)
-        sp = np.zeros((1, 128, SP8_TAIL_WIDTH), np.int8)
-        he = np.zeros((1, 128, HEAD_WIDTH), np.int16)
-        sd = np.zeros((1, 128, SIDE8_WIDTH), np.uint8)
-        for _ in range(4):
-            n = p.parse_packed8_into(sp[0], he[0], sd[0])
-            if n == 0:
-                break
-            sp[0, n:] = 0
-            sd[0, n:] = 0
-            truth = tail_cap_lines(sp, buckets)
-            fast = tail_cap_from_side(sd, buckets)
-            # count1 bounds the nonzero extent from above, so the fast cap
-            # may land one bucket higher but never lower (lower would drop
-            # nonzero lines)
-            assert fast >= truth, (fast, truth)
-            assert fast <= 512
-        p.close()
+    sp = np.zeros((2, 4, 1024), np.int8)
+    assert tail_need_lines(sp) == 0
+    sp.reshape(2, 4, 2, 512)[1, 2, 1, 300] = 5
+    assert tail_need_lines(sp) == 301
+    assert bucket_tail_lines(301, (64, 448, 512)) == 448
+    assert bucket_tail_lines(513, (64, 448, 512)) == 512  # over-need: full
+    assert bucket_tail_lines(0, (600,)) == 512  # invalid bucket ignored
 
 
 def test_decode_corpus_fast_threaded_parse_identical(
@@ -268,6 +256,91 @@ def test_mono_split_wire_layout(fixture_classic_lame, fixture_mpeg2):
     refm = decode_corpus_fast(mono_only, chunk_t=64, mono_split=False)
     gotm = decode_corpus_fast(mono_only, chunk_t=64)
     assert gotm.pcm == refm.pcm
+
+
+def test_drain_with_tail_buckets_matches(
+    fixture_classic_lame, fixture_mpeg2
+):
+    """Tail capping stays ACTIVE in drain mode via a corpus-global width
+    (one compiled program for every segment): byte-identical output to
+    the uncapped whole-corpus scan."""
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    streams = [
+        fixture_classic_lame * 2,
+        fixture_mpeg2[: len(fixture_mpeg2) // 2],
+    ]
+    ref = decode_corpus_fast(streams, chunk_t=64)
+    got = decode_corpus_fast(
+        streams, chunk_t=64, drain=4, tail_buckets=(448, 512)
+    )
+    assert got.granules == ref.granules
+    assert got.pcm == ref.pcm
+    # aggressive buckets (force small corpus-global width) too
+    got2 = decode_corpus_fast(
+        streams, chunk_t=64, drain=4,
+        tail_buckets=(64, 192, 320, 448, 512),
+    )
+    assert got2.pcm == ref.pcm
+
+
+def test_mono_split_on_mesh_and_device_resident(
+    fixture_classic_lame, fixture_mpeg2
+):
+    """mono_split stays active under a mesh when each lane group divides
+    the mesh evenly (per-group zero-collective sharding), and under
+    fetch=False (device-resident PCM returned in CALLER order)."""
+    import jax
+    import numpy as np
+
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+    from go_mp3_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    stereo = [fixture_classic_lame[:25_000]] * n_dev
+    mono = [fixture_mpeg2[:25_000]] * n_dev
+    # interleave so the internal regrouping is exercised
+    streams = [s for pair in zip(mono, stereo) for s in pair]
+    ref = decode_corpus_fast(streams, chunk_t=32, mono_split=False)
+    got = decode_corpus_fast(
+        streams, chunk_t=32, mesh=make_mesh(),
+        tail_buckets=(448, 512), drain=2,
+    )
+    assert got.pcm == ref.pcm and got.granules == ref.granules
+
+    # fetch=False: device-resident PCM + valids, caller lane order
+    pcms, valids = decode_corpus_fast(streams, chunk_t=32, fetch=False)
+    host = np.asarray(pcms)
+    refb = [np.frombuffer(p, "<i2").reshape(-1, 2) for p in ref.pcm]
+    for s in range(len(streams)):
+        got_s = np.concatenate(
+            [
+                host[c, s, : int(valids[c, s]) * 576]
+                for c in range(host.shape[0])
+                if int(valids[c, s])
+            ]
+        )
+        np.testing.assert_array_equal(got_s, refb[s])
+
+
+def test_mono_split_mesh_indivisible_group_falls_back(
+    fixture_classic_lame, fixture_mpeg2
+):
+    """A lane group whose size does not divide the mesh falls back to the
+    universal (unsplit) layout instead of failing."""
+    import jax
+
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+    from go_mp3_tpu.parallel.mesh import make_mesh
+
+    n_dev = len(jax.devices())
+    # 1 mono + (n_dev - 1) stereo: total divides the mesh, groups do not
+    streams = [fixture_mpeg2[:20_000]] + [
+        fixture_classic_lame[:20_000]
+    ] * (n_dev - 1)
+    ref = decode_corpus_fast(streams, chunk_t=32, mono_split=False)
+    got = decode_corpus_fast(streams, chunk_t=32, mesh=make_mesh())
+    assert got.pcm == ref.pcm
 
 
 def test_mono_split_mismatch_falls_back():
