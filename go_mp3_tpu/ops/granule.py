@@ -732,6 +732,15 @@ def decode_chunk_fused_batch_impl(
     return jax.vmap(decode_chunk_packed8_impl)(tail, head, side, states, valids)
 
 
+def decode_chunk_fused_mono_batch_impl(
+    buf: jax.Array, states, valids: jax.Array, *, t: int, tail_lines: int
+):
+    """decode_chunk_fused_batch_impl for the HALF-WIDTH mono wire layout
+    ([S, mono_stream_bytes] u8; ch1 reconstructed as zeros on device)."""
+    tail, head, side = unpack_fused_mono(buf, t, tail_lines)
+    return jax.vmap(decode_chunk_packed8_impl)(tail, head, side, states, valids)
+
+
 # Single-stream chunk decode: [T, ...] -> [T*576, 2]
 decode_chunk = jax.jit(decode_chunk_impl)
 
