@@ -136,6 +136,44 @@ def main() -> int:
             f" LSB)"
         )
 
+    # production multi-stream pipeline: decode ALL bundle files in one
+    # corpus through decode_corpus_fast with every production feature on
+    # (fused transfers, bucketed caps, mono_split, threaded parse, drain),
+    # assert byte-identity with the per-stream device decodes above, and
+    # freeze the corpus PCM SHA-256s (round-4 verdict item 7)
+    from go_mp3_tpu.parallel.corpus import decode_corpus_fast
+
+    corpus_streams = [open(path, "rb").read() for path, _ in files]
+    corpus = decode_corpus_fast(
+        corpus_streams,
+        chunk_t=64,
+        tail_buckets=(464, 512),
+        n_threads=2,
+        drain=6,
+    )
+    corpus_entry = {}
+    for (path, name), pcm in zip(files, corpus.pcm):
+        dev = Decoder(open(path, "rb").read(), backend="device").read_all()
+        if pcm != dev:
+            print(f"FAIL: corpus pipeline != device Decoder for {name}",
+                  file=sys.stderr)
+            return 2
+        corpus_entry[name] = {
+            "pcm_sha256": hashlib.sha256(pcm).hexdigest(),
+            "pcm_bytes": len(pcm),
+        }
+    report["corpus_pipeline"] = {
+        "config": "decode_corpus_fast chunk_t=64 tail_buckets=(464,512) "
+                  "n_threads=2 drain=6 (fused + mono_split defaults)",
+        "granules": corpus.granules,
+        "streams": corpus_entry,
+        "matches_per_stream_device_decoder": True,
+    }
+    print(
+        f"corpus pipeline: {corpus.granules} granules over "
+        f"{len(files)} streams — byte-identical to per-stream decodes"
+    )
+
     report["thresholds"] = {
         "full_rms_lsb": FULL_RMS,
         "full_maxdiff_lsb": FULL_MAXDIFF,
