@@ -378,6 +378,14 @@ def main() -> None:
     # chunk at the corpus-global width, so BOTH halves run this one
     # program (the same property drain mode uses)
     parse_probe(1)  # separated sampling point between the two compiles
+    # warm the pipelined pool's pages untimed (np.empty/np.zeros are
+    # lazily mapped; ~300 MB of first-touch faults would otherwise land
+    # inside the first pipelined run's timed region)
+    for c, (spectra, head, side) in enumerate(pool):
+        pack_chunk(c, spectra, head, side, pool_out=fused_pool_g, w=w_glob)
+    for fb in fused_pool_g[n_chunks:]:
+        for b in fb:
+            b[:, ::4096] = 0
     k_seg = n_even // 2
     t0 = time.perf_counter()
     seg_shapes = (
