@@ -225,7 +225,7 @@ def main() -> None:
     # untimed geometry pass from the parsed spectra via tail_cap_lines,
     # the exact ground truth; count1-based capping is NOT equivalent —
     # count1 is a pre-reorder boundary and the short-block permutation
-    # can move nonzero lines above it, see tail_cap_from_side's docs)
+    # can move nonzero lines above it, see tail_need_lines' docstring)
     if buckets:
         widths = [
             (

@@ -405,7 +405,14 @@ class BatchParser:
         assert head16.shape == (s, cap, HEAD_WIDTH) and head16.dtype == np.int16
         assert side8.shape == (s, cap, SIDE8_WIDTH) and side8.dtype == np.uint8
         assert valids.shape == (s,) and valids.dtype == np.int32
-        assert 0 <= lo <= hi <= s == len(self.parsers)
+        # explicit raise (not assert): this bound guards raw C pointer
+        # arithmetic over the handles array and the output rows, and must
+        # survive `python -O`
+        if not (0 <= lo <= hi <= s == len(self.parsers)):
+            raise ValueError(
+                f"lane block [{lo}, {hi}) out of range for "
+                f"{len(self.parsers)} parsers / {s} rows"
+            )
         for a in (tail8, head16, side8, valids):
             assert a.flags.c_contiguous
         if lo == hi:

@@ -451,6 +451,10 @@ struct BitReader {
 };
 
 #ifdef GOMP3_PROF_STATS
+// Single-threaded profiling builds ONLY: the counters are one non-atomic
+// global, so attributing a threaded parse (BatchParser lo/hi workers)
+// with this build races and silently corrupts the histograms — profile
+// with n_threads=1 / the serial many-call.
 struct ProfStats {
   uint64_t frames = 0, lanes = 0, lane_steps = 0, pair_fast = 0,
            pair_slow_direct = 0, pair_slow_two = 0, quad_steps = 0,
