@@ -474,6 +474,7 @@ def main() -> None:
     # raw per-run lists land in detail (no cross-schedule median).
     runs = {"overlap": [], "strict": [], "pipelined": []}
     en = None
+    en_by_mode: dict = {}
     order = [m for _ in range(3) for m in ("overlap", "strict", "pipelined")]
     budget_s = float(os.environ.get("GOMP3_RUN_BUDGET_S", "300"))
     spent = 0.0
@@ -481,6 +482,15 @@ def main() -> None:
         total_wall, parse_wall, en = one_run(mode)
         runs[mode].append((total_wall, parse_wall))
         spent += total_wall
+        # the decode is deterministic, so every schedule must produce the
+        # SAME per-chunk energies — this pins the pipelined path's
+        # two-segment state carry against the one-scan schedules
+        prev = en_by_mode.setdefault(mode, en)
+        assert np.array_equal(prev, en), f"{mode} energies changed"
+        for m2, e2 in en_by_mode.items():
+            assert np.array_equal(e2, en), (
+                f"schedule {mode} energies != {m2}"
+            )
         log(
             f"run {rep} [{mode}]: wall {total_wall:.3f}s "
             f"(parse+pack {parse_wall:.3f}s inside)"
