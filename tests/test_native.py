@@ -471,6 +471,58 @@ def test_batch_parser_hard_error_names_stream(fixture_classic_lame):
     bp.close()
 
 
+def test_batch_parser_lane_blocks(fixture_classic_lame, fixture_mpeg2):
+    """parse_chunk_into(lo, hi) over disjoint contiguous lane blocks is
+    byte-identical to the full-corpus call (the per-worker many-call the
+    threaded parse uses), errors name the ABSOLUTE lane index, and bad
+    ranges raise (not assert: the bound guards raw C pointers)."""
+    import numpy as np
+    import pytest
+
+    from go_mp3_tpu.consts import HEAD_WIDTH, SIDE8_WIDTH, SP8_TAIL_WIDTH
+    from go_mp3_tpu.native.lib import BatchParser
+
+    streams = [
+        fixture_classic_lame,
+        fixture_mpeg2[:40_000],
+        fixture_classic_lame[:30_000],
+    ]
+
+    def run(blocks):
+        bp = BatchParser(streams)
+        sp = np.zeros((3, 64, SP8_TAIL_WIDTH), np.int8)
+        he = np.zeros((3, 64, HEAD_WIDTH), np.int16)
+        sd = np.zeros((3, 64, SIDE8_WIDTH), np.uint8)
+        out = []
+        while True:
+            valids = np.zeros(3, np.int32)
+            n = 0
+            for lo, hi in blocks:
+                n = max(n, bp.parse_chunk_into(sp, he, sd, valids, lo, hi))
+            if not valids.any():
+                break
+            out.append((sp.copy(), he.copy(), sd.copy(), valids.copy()))
+        bp.close()
+        return out
+
+    full = run([(0, 3)])
+    split = run([(0, 2), (2, 3)])
+    assert len(full) == len(split) > 0
+    for a, b in zip(full, split):
+        for x, y in zip(a, b):
+            assert np.array_equal(x, y)
+
+    bp = BatchParser(streams)
+    sp = np.zeros((3, 16, SP8_TAIL_WIDTH), np.int8)
+    he = np.zeros((3, 16, HEAD_WIDTH), np.int16)
+    sd = np.zeros((3, 16, SIDE8_WIDTH), np.uint8)
+    valids = np.zeros(3, np.int32)
+    with pytest.raises(ValueError, match="lane block"):
+        bp.parse_chunk_into(sp, he, sd, valids, 2, 5)
+    assert bp.parse_chunk_into(sp, he, sd, valids, 1, 1) == 0  # empty ok
+    bp.close()
+
+
 def test_pack_fused_tail_matches_numpy():
     """The SSE 16x16-blocked fused-tail transpose is byte-identical to
     the numpy fallback across full/capped widths and non-multiple-of-16
