@@ -274,16 +274,24 @@ def main() -> None:
     fused_pool = [alloc_fused(w) for w in widths]
 
     # corpus-global width per group (the pipelined schedule's and drain
-    # mode's width: one compiled program serves every segment)
+    # mode's width: one compiled program serves every segment). The
+    # pipelined pool is ONE 3-D [n_chunks, S_g, nb] array per group —
+    # each half-corpus segment then uploads with a single device_put per
+    # group (4 dispatches per corpus instead of 28; measured 20-30%
+    # faster through a congested relay, parity in good weather)
     w_glob = tuple(max(w[g] for w in widths) for g in range(len(widths[0])))
     n_even = n_chunks + (n_chunks % 2)  # pad to two equal segments
-    fused_pool_g = [alloc_fused(w_glob) for _ in range(n_chunks)] + [
-        alloc_fused(w_glob, zero=True) for _ in range(n_even - n_chunks)
+    one_g = alloc_fused(w_glob)
+    fused_pool_g3 = tuple(
+        np.zeros((n_even,) + b.shape, np.uint8) for b in one_g
+    )
+    del one_g
+    # per-chunk contiguous views into the 3-D pool (pack targets)
+    fused_pool_g = [
+        tuple(g[c] for g in fused_pool_g3) for c in range(n_even)
     ]
-    wire_bpg_pipe = (
-        n_even
-        * sum(b.nbytes for b in fused_pool_g[0])
-        / (n_chunks * n_streams * chunk_t)
+    wire_bpg_pipe = sum(g.nbytes for g in fused_pool_g3) / (
+        n_chunks * n_streams * chunk_t
     )
 
     def pack_chunk(c, spectra, head, side, pool_out=None, w=None):
@@ -387,17 +395,29 @@ def main() -> None:
         for b in fb:
             b[:, ::4096] = 0
     k_seg = n_even // 2
+
+    def make_decode_stacked(k, ws):
+        # segment program over STACKED per-group arrays ([k, S_g, nb]
+        # each): one device_put per group per segment
+        inner = make_decode((ws,) * k)
+
+        @jax.jit
+        def decode(stacked, states, valids):
+            bufs = [tuple(g[c] for g in stacked) for c in range(k)]
+            return inner(bufs, states, valids)
+
+        return decode
+
     t0 = time.perf_counter()
     seg_shapes = (
-        [
-            tuple(sds(b.shape, np.uint8) for b in fused_pool_g[0])
-            for _ in range(k_seg)
-        ],
+        tuple(
+            sds((k_seg,) + g.shape[1:], np.uint8) for g in fused_pool_g3
+        ),
         state_shapes,
         sds((k_seg, n_streams), np.int32),
     )
     compiled_seg = (
-        make_decode((w_glob,) * k_seg).lower(*seg_shapes).compile()
+        make_decode_stacked(k_seg, w_glob).lower(*seg_shapes).compile()
     )
     log(
         f"segment compile+load: {time.perf_counter() - t0:.2f}s "
@@ -439,16 +459,15 @@ def main() -> None:
         if pipelined:
             # two half-corpus scans through ONE compiled program: segment
             # 2's uploads are enqueued while segment 1 runs on-chip (the
-            # transfer client's busy-poll steals only idle host time)
-            bufs1 = [
-                tuple(jax.device_put(b) for b in fb)
-                for fb in fused_pool_g[:k_seg]
-            ]
+            # transfer client's busy-poll steals only idle host time);
+            # each segment ships ONE buffer per lane group
+            bufs1 = tuple(
+                jax.device_put(g[:k_seg]) for g in fused_pool_g3
+            )
             en1, states = compiled_seg(bufs1, states, valids[:k_seg])
-            bufs2 = [
-                tuple(jax.device_put(b) for b in fb)
-                for fb in fused_pool_g[k_seg:]
-            ]
+            bufs2 = tuple(
+                jax.device_put(g[k_seg:]) for g in fused_pool_g3
+            )
             en2, _ = compiled_seg(bufs2, states, valids[k_seg:])
             en = np.concatenate(
                 [np.asarray(en1), np.asarray(en2)]
