@@ -400,6 +400,13 @@ def main() -> None:
         lambda x: sds(x.shape, x.dtype), states0
     )
 
+    # schedules to measure (env-tunable: each of strict_mega/pipelined
+    # costs one extra compiled program — minutes of remote compile in bad
+    # weather — so a constrained session can trim the list)
+    all_modes = ("overlap", "strict", "strict_mega", "pipelined")
+    sel = os.environ.get("GOMP3_SCHEDULES", ",".join(all_modes)).split(",")
+    modes = tuple(m for m in all_modes if m in sel) or ("strict",)
+
     t0 = time.perf_counter()
     shapes = (
         [tuple(sds(b.shape, np.uint8) for b in fp) for fp in fused_pool],
@@ -436,21 +443,24 @@ def main() -> None:
 
         return decode
 
-    t0 = time.perf_counter()
-    seg_shapes = (
-        tuple(
-            sds((k_seg,) + g.shape[1:], np.uint8) for g in fused_pool_g3
-        ),
-        state_shapes,
-        sds((k_seg, n_streams), np.int32),
-    )
-    compiled_seg = (
-        make_decode_stacked(k_seg, w_glob).lower(*seg_shapes).compile()
-    )
-    log(
-        f"segment compile+load: {time.perf_counter() - t0:.2f}s "
-        f"({k_seg} chunks at {w_glob}, one-time, untimed)"
-    )
+    compiled_seg = None
+    if "pipelined" in modes:
+        t0 = time.perf_counter()
+        seg_shapes = (
+            tuple(
+                sds((k_seg,) + g.shape[1:], np.uint8)
+                for g in fused_pool_g3
+            ),
+            state_shapes,
+            sds((k_seg, n_streams), np.int32),
+        )
+        compiled_seg = (
+            make_decode_stacked(k_seg, w_glob).lower(*seg_shapes).compile()
+        )
+        log(
+            f"segment compile+load: {time.perf_counter() - t0:.2f}s "
+            f"({k_seg} chunks at {w_glob}, one-time, untimed)"
+        )
     t0 = time.perf_counter()
 
     def make_decode_runs():
@@ -470,20 +480,23 @@ def main() -> None:
 
         return decode
 
-    mega_shapes = (
-        tuple(
-            tuple(sds(g.shape, np.uint8) for g in run)
-            for run in mega_pool
-        ),
-        state_shapes,
-        sds(valids0.shape, np.int32),
-    )
-    compiled_mega = make_decode_runs().lower(*mega_shapes).compile()
-    log(
-        f"run-stacked compile+load: {time.perf_counter() - t0:.2f}s "
-        f"({len(runs_idx)} runs {[(hi - lo, w) for w, lo, hi in runs_idx]},"
-        " one-time, untimed)"
-    )
+    compiled_mega = None
+    if "strict_mega" in modes:
+        mega_shapes = (
+            tuple(
+                tuple(sds(g.shape, np.uint8) for g in run)
+                for run in mega_pool
+            ),
+            state_shapes,
+            sds(valids0.shape, np.int32),
+        )
+        compiled_mega = make_decode_runs().lower(*mega_shapes).compile()
+        log(
+            f"run-stacked compile+load: {time.perf_counter() - t0:.2f}s "
+            f"({len(runs_idx)} runs "
+            f"{[(hi - lo, w) for w, lo, hi in runs_idx]}, "
+            "one-time, untimed)"
+        )
 
     # ---- timed: the full pipeline, end to end ------------------------------
     # parse -> fused pack -> device_put (1/chunk) -> one scan -> FETCH of
@@ -569,7 +582,6 @@ def main() -> None:
     # global wall budget as the catastrophic-weather escape (each
     # schedule keeps >= 2 runs). Headline = best per-schedule MIN; the
     # raw per-run lists land in detail (no cross-schedule median).
-    modes = ("overlap", "strict", "strict_mega", "pipelined")
     runs = {m: [] for m in modes}
     en = None
     en_by_mode: dict = {}
