@@ -259,24 +259,41 @@ def main() -> None:
     wire_bpg_eff = wire_bytes / (n_chunks * n_streams * chunk_t)
     log(f"tail caps per chunk: {widths} (eff wire {wire_bpg_eff:.0f} B/gr)")
 
-    def alloc_fused(w, zero=False):
-        mk = np.zeros if zero else np.empty
-        bufs = [
-            mk((n_stereo, fused_stream_nbytes(chunk_t, w[0])), np.uint8)
+    def group_nbytes(w):
+        per = [
+            (n_stereo, fused_stream_nbytes(chunk_t, w[0]))
         ] if n_stereo else []
         if n_stereo < n_streams:
-            bufs.append(
-                mk(
-                    (
-                        n_streams - n_stereo,
-                        fused_stream_nbytes_mono(chunk_t, w[-1]),
-                    ),
-                    np.uint8,
+            per.append(
+                (
+                    n_streams - n_stereo,
+                    fused_stream_nbytes_mono(chunk_t, w[-1]),
                 )
             )
-        return tuple(bufs)
+        return per
+
+    def alloc_fused(w):
+        return tuple(np.empty(s, np.uint8) for s in group_nbytes(w))
 
     fused_pool = [alloc_fused(w) for w in widths]
+
+    # schedules to measure (env-tunable: each of strict_mega/pipelined
+    # costs one extra compiled program — minutes of remote compile in bad
+    # weather — so a constrained session can trim the list; their pools
+    # are only allocated when selected)
+    all_modes = ("overlap", "strict", "strict_mega", "pipelined")
+    sel = [
+        s.strip()
+        for s in os.environ.get(
+            "GOMP3_SCHEDULES", ",".join(all_modes)
+        ).split(",")
+        if s.strip()
+    ]
+    for s in sel:
+        if s not in all_modes:
+            log(f"WARNING: unknown schedule {s!r} in GOMP3_SCHEDULES "
+                f"(valid: {', '.join(all_modes)})")
+    modes = tuple(m for m in all_modes if m in sel) or ("strict",)
 
     # corpus-global width per group (the pipelined schedule's and drain
     # mode's width: one compiled program serves every segment). The
@@ -286,18 +303,20 @@ def main() -> None:
     # faster through a congested relay, parity in good weather)
     w_glob = tuple(max(w[g] for w in widths) for g in range(len(widths[0])))
     n_even = n_chunks + (n_chunks % 2)  # pad to two equal segments
-    one_g = alloc_fused(w_glob)
-    fused_pool_g3 = tuple(
-        np.zeros((n_even,) + b.shape, np.uint8) for b in one_g
+    wire_bpg_pipe = (
+        n_even
+        * sum(s * nb for s, nb in group_nbytes(w_glob))
+        / (n_chunks * n_streams * chunk_t)
     )
-    del one_g
-    # per-chunk contiguous views into the 3-D pool (pack targets)
-    fused_pool_g = [
-        tuple(g[c] for g in fused_pool_g3) for c in range(n_even)
-    ]
-    wire_bpg_pipe = sum(g.nbytes for g in fused_pool_g3) / (
-        n_chunks * n_streams * chunk_t
-    )
+    fused_pool_g3 = fused_pool_g = None
+    if "pipelined" in modes:
+        fused_pool_g3 = tuple(
+            np.zeros((n_even,) + s, np.uint8) for s in group_nbytes(w_glob)
+        )
+        # per-chunk contiguous views into the 3-D pool (pack targets)
+        fused_pool_g = [
+            tuple(g[c] for g in fused_pool_g3) for c in range(n_even)
+        ]
 
     # runs of consecutive equal-width chunks, stacked: the strict_mega
     # schedule ships each run as ONE buffer per lane group (4 puts per
@@ -309,17 +328,20 @@ def main() -> None:
         if c == n_chunks or widths[c] != widths[lo]:
             runs_idx.append((widths[lo], lo, c))
             lo = c
-    mega_pool = tuple(
-        tuple(
-            np.empty((hi - lo,) + b.shape, np.uint8)
-            for b in alloc_fused(w)
+    mega_pool = mega_views = None
+    if "strict_mega" in modes:
+        mega_pool = tuple(
+            tuple(
+                np.empty((hi - lo,) + s, np.uint8)
+                for s in group_nbytes(w)
+            )
+            for (w, lo, hi) in runs_idx
         )
-        for (w, lo, hi) in runs_idx
-    )
-    mega_views = [None] * n_chunks  # per-chunk pack targets into the runs
-    for r, (_, lo, hi) in enumerate(runs_idx):
-        for c in range(lo, hi):
-            mega_views[c] = tuple(g[c - lo] for g in mega_pool[r])
+        # per-chunk pack targets into the runs
+        mega_views = [None] * n_chunks
+        for r, (_, lo, hi) in enumerate(runs_idx):
+            for c in range(lo, hi):
+                mega_views[c] = tuple(g[c - lo] for g in mega_pool[r])
 
     def pack_chunk(c, spectra, head, side, pool_out=None, w=None):
         """Pool chunk -> fused transfer buffer tuple (stereo [+ mono])."""
@@ -400,13 +422,6 @@ def main() -> None:
         lambda x: sds(x.shape, x.dtype), states0
     )
 
-    # schedules to measure (env-tunable: each of strict_mega/pipelined
-    # costs one extra compiled program — minutes of remote compile in bad
-    # weather — so a constrained session can trim the list)
-    all_modes = ("overlap", "strict", "strict_mega", "pipelined")
-    sel = os.environ.get("GOMP3_SCHEDULES", ",".join(all_modes)).split(",")
-    modes = tuple(m for m in all_modes if m in sel) or ("strict",)
-
     t0 = time.perf_counter()
     shapes = (
         [tuple(sds(b.shape, np.uint8) for b in fp) for fp in fused_pool],
@@ -424,9 +439,12 @@ def main() -> None:
     # (np.empty/np.zeros are lazily mapped; hundreds of MB of first-touch
     # faults would otherwise land inside the first timed run of each)
     for c, (spectra, head, side) in enumerate(pool):
-        pack_chunk(c, spectra, head, side, pool_out=fused_pool_g, w=w_glob)
-        pack_chunk(c, spectra, head, side, pool_out=mega_views)
-    for fb in fused_pool_g[n_chunks:]:
+        if fused_pool_g is not None:
+            pack_chunk(c, spectra, head, side,
+                       pool_out=fused_pool_g, w=w_glob)
+        if mega_views is not None:
+            pack_chunk(c, spectra, head, side, pool_out=mega_views)
+    for fb in (fused_pool_g or [])[n_chunks:]:
         for b in fb:
             b[:, ::4096] = 0
     k_seg = n_even // 2
@@ -768,7 +786,16 @@ def main() -> None:
             "tail_cap_lines_per_chunk": [list(w) for w in widths],
             "mono_split_lanes": n_streams - n_stereo,
             "tail_buckets": list(buckets) if buckets else None,
-            "transfers_per_corpus": n_chunks * len(fused_pool[0]),
+            "transfers_per_corpus_by_schedule": {
+                m: n
+                for m, n in (
+                    ("strict", n_chunks * len(fused_pool[0])),
+                    ("overlap", n_chunks * len(fused_pool[0])),
+                    ("strict_mega", len(runs_idx) * len(fused_pool[0])),
+                    ("pipelined", 2 * len(fused_pool[0])),
+                )
+                if m in modes
+            },
             "schedule": best_mode,
             "runs_wall_s": {
                 m: [round(w, 3) for w, _ in rs] for m, rs in runs.items()

@@ -179,7 +179,15 @@ def _drained_result(n_chunks, k, run_segment, valids, emit, n_streams):
     chunk slice `seg` (padding to k chunks itself) and returns the device
     PCM (an array, or a tuple of per-lane-group arrays on the fused
     path); both the fused and three-array paths plug in here so the
-    pipelining/padding/emit logic exists once."""
+    pipelining/padding/emit logic exists once.
+
+    INVARIANT: at most ONE segment is pending (dispatched but not yet
+    fetched) at a time — segment N's PCM is fetched before segment N+2
+    is dispatched. The fused path's double-buffered host upload stacks
+    rely on exactly this depth (segment N+2 reuses segment N's buffer,
+    safe only because N's transfers completed before its fetch
+    returned); deepen the pipelining here and those buffers must grow
+    to match."""
     import jax
 
     parts: list[list[bytes]] = [[] for _ in range(n_streams)]

@@ -501,7 +501,8 @@ def test_batch_parser_lane_blocks(fixture_classic_lame, fixture_mpeg2):
                 n = max(n, bp.parse_chunk_into(sp, he, sd, valids, lo, hi))
             if not valids.any():
                 break
-            out.append((sp.copy(), he.copy(), sd.copy(), valids.copy()))
+            assert n == valids.max()  # return value = max granules
+            out.append((sp.copy(), he.copy(), sd.copy(), valids.copy(), n))
         bp.close()
         return out
 
