@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Benchmark: aggregate MP3 decode throughput per chip.
 
-Pipeline (round 4): the native C++ parser fills three flat pool arrays per
+Pipeline: the native C++ parser fills three flat pool arrays per
 chunk (int8 tail spectra [S,T,1024] + exact int16 head plane [S,T,128] +
 byte sidecar [S,T,168] — gmp_parse_packed8), which the host packs into ONE
 fused uint8 buffer per lane group per chunk ([S, stream_bytes];
@@ -45,16 +45,24 @@ timed region ends at an actual FETCH of the (tiny) energies output. The
 relay and the shared single-core host swing minute-to-minute, so runs
 repeat and the minimum is reported, with the full spread in detail.
 
-decoder_ceiling_x_realtime is what the decoder itself sustains with the
-data local (no tunnel): FULL-CORPUS single-core parse (all chunks of all
-streams, not an extrapolated sample — round-3 verdict item) at process-CPU
-cost (a dedicated core pays no hypervisor steal) plus scan-amortized
-device compute, run serially. Reported as the min over attempts, with the
-median in detail. The fused-buffer packing copy is NOT in the ceiling: a
-local-chip pipeline device_puts the parser's pool arrays directly (the
-line-major fused layout exists for the compressing relay); its cost is
-reported separately as probe_pack_s_per_chunk and is inside every timed
-end-to-end run.
+The transfer-free decoder ceiling — what the decoder itself sustains with
+the data local (no tunnel) — is reported THREE clearly-labeled ways, each
+at min AND median over FULL-CORPUS single-core parse samples (all chunks
+of all streams, not an extrapolated sample) at process-CPU cost (a
+dedicated core pays no hypervisor steal):
+  decoder_ceiling_x_realtime            serial parse + scan-amortized
+                                        compute; no fused pack (a
+                                        local-chip pipeline device_puts
+                                        the parser's pool arrays directly
+                                        — the line-major fused layout
+                                        exists for the compressing relay)
+  decoder_ceiling_fused_x_realtime      adds the fused packing copy the
+                                        relay runs actually pay
+  decoder_ceiling_pipelined_x_realtime  parse of corpus N+1 under device
+                                        compute of corpus N (bound by the
+                                        slower phase; the measured
+                                        `pipelined` schedule demonstrates
+                                        the overlap on-chip)
 
 Prints ONE JSON line on stdout; diagnostics on stderr.
 
